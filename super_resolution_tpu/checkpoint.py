@@ -1,0 +1,77 @@
+"""Checkpoint / resume via orbax (SURVEY.md §5.3-5.4).
+
+The reference interval-saves G/D ``.pth`` state dicts and resumes manually
+by ``--epoch`` (SURVEY.md §1 L7).  Here one step-stamped orbax save holds
+the *entire* :class:`GANTrainState` (G/D params, both Adam states, BN
+stats, RNG key) plus the data-iterator state, giving step-exact
+deterministic resume.  Torch ``.pth`` files import through
+:mod:`super_resolution_tpu.import_torch` instead.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from super_resolution_tpu.train.state import GANTrainState
+
+
+def _manager(ckpt_dir: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True),
+    )
+
+
+def save_checkpoint(ckpt_dir: str, state: GANTrainState,
+                    data_state: Optional[dict] = None,
+                    max_to_keep: int = 5) -> int:
+    step = int(jax.device_get(state.step))
+    with _manager(ckpt_dir, max_to_keep) as mgr:
+        payload = {"state": ocp.args.StandardSave(state)}
+        if data_state is not None:
+            payload["data"] = ocp.args.JsonSave(data_state)
+        mgr.save(step, args=ocp.args.Composite(**payload))
+        mgr.wait_until_finished()
+    return step
+
+
+def restore_checkpoint(
+        ckpt_dir: str, template: GANTrainState,
+        step: Optional[int] = None,
+) -> Tuple[GANTrainState, Optional[dict], int]:
+    """Restore (state, data_state, step).  ``template`` supplies the tree
+    structure/shapes (build it with ``init_state`` on the same config)."""
+    with _manager(ckpt_dir) as mgr:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
+        has_data = "data" in (mgr.item_metadata(step) or {})
+        args = {"state": ocp.args.StandardRestore(template)}
+        if has_data:
+            args["data"] = ocp.args.JsonRestore()
+        out = mgr.restore(step, args=ocp.args.Composite(**args))
+    data_state = out.get("data") if has_data else None
+    return out["state"], data_state, step
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    with _manager(ckpt_dir) as mgr:
+        return mgr.latest_step()
+
+
+def net_interp(params_psnr, params_gan, alpha: float):
+    """ESRGAN network interpolation (paper §3.4, SURVEY.md §2.1):
+    θ = α·θ_GAN + (1−α)·θ_PSNR, leaf-wise over two compatible trees."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0,1], got {alpha}")
+    return jax.tree.map(
+        lambda a, b: (1.0 - alpha) * np.asarray(a) + alpha * np.asarray(b),
+        params_psnr, params_gan)

@@ -1,0 +1,192 @@
+"""Typed configuration tree for the framework.
+
+The reference exposes per-script ``argparse`` flags (SURVEY.md §1 L8:
+``--n_epochs --dataset_name --batch_size --lr --b1 --b2 --hr_height
+--hr_width --channels --residual_blocks --warmup_batches --lambda_adv
+--lambda_pixel --sample_interval --checkpoint_interval``).  Here the same
+surface lives in one dataclass tree; the five BASELINE.json configs
+(BASELINE.json:6-12) are named presets in :data:`PRESETS`.
+
+Everything is hashable/frozen so configs can be closed over by ``jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# ImageNet statistics used by the reference family for input normalization
+# (SURVEY.md §2.1 "Dataset / patch loader").
+IMAGENET_MEAN: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+IMAGENET_STD: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneratorConfig:
+    """RRDBNet generator hyper-parameters (SURVEY.md §2.1 "RRDB generator").
+
+    The canonical 23-block ×4 generator has exactly 16,697,987 parameters
+    (verified analytically, SURVEY.md §2.1 [V]) with ``growth=32`` and the
+    nearest+conv upsampler.  ``upsampler`` is an enum because the reference
+    family ships both variants (SURVEY.md §3.5 "Upsample-variant
+    ambiguity"): ``"nearest_conv"`` (xinntao branch) and ``"pixelshuffle"``
+    (eriklindernoren branch); checkpoint import resolves which one by key
+    shapes.
+    """
+
+    channels: int = 3            # --channels
+    filters: int = 64            # base feature width (nf)
+    growth: int = 32             # dense-block growth channels (gc)
+    n_blocks: int = 23           # --residual_blocks
+    n_dense: int = 3             # dense blocks per RRDB
+    n_dense_convs: int = 5       # convs per dense block
+    scale: int = 4               # upscale factor (2 pixel-shuffle/interp stages)
+    res_scale: float = 0.2       # residual scaling beta (ESRGAN paper §3.1)
+    lrelu_slope: float = 0.2
+    upsampler: str = "nearest_conv"   # "nearest_conv" | "pixelshuffle"
+    init: str = "msra_scaled"         # "msra_scaled" (x0.1) | "torch_default"
+
+    @property
+    def n_upsample(self) -> int:
+        s, n = self.scale, 0
+        while s > 1:
+            assert s % 2 == 0, "scale must be a power of two"
+            s //= 2
+            n += 1
+        return n
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscriminatorConfig:
+    """VGG-style patch discriminator (SURVEY.md §2.1 "VGG-style
+    discriminator"): conv pairs at widths (64,128,256,512), stride 1 then
+    stride 2, BatchNorm except on the very first conv, LeakyReLU 0.2, and a
+    1-channel conv head producing an (H/16, W/16) logit map.  ≈4,693,697
+    params at default width [V]."""
+
+    channels: int = 3
+    base_filters: int = 64
+    n_scales: int = 4            # number of width-doubling stages
+    lrelu_slope: float = 0.2
+    bn_momentum: float = 0.9     # flax momentum == 1 - torch momentum (0.1)
+    bn_eps: float = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class VGGConfig:
+    """Frozen VGG-19 trunk truncated at conv5_4 *pre-activation*
+    (ESRGAN paper §3.3; torchvision ``vgg19.features[:35]`` in the family,
+    SURVEY.md §2.1).  Weights come from a one-time torch→npz conversion
+    (``tools/convert_vgg.py``); ``weights_path=None`` means random init
+    (tests / weights-unavailable mode — SURVEY.md §2.2 external-asset
+    note)."""
+
+    weights_path: Optional[str] = None
+    # Conv widths of VGG-19 cfg E, with 'M' marking 2x2 maxpools. Truncated
+    # after conv5_4 (no ReLU, no final pool).
+    arch: Tuple = (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+                   512, 512, 512, 512, "M", 512, 512, 512, 512)
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """ESRGAN loss weights (ESRGAN paper §3.3; SURVEY.md §2.1 "Loss
+    suite"): total G loss = perceptual + lambda_adv·RaGAN + lambda_pixel·L1."""
+
+    lambda_adv: float = 5e-3     # --lambda_adv
+    lambda_pixel: float = 1e-2   # --lambda_pixel
+    use_perceptual: bool = True
+    # Relativistic-average mean semantics under data parallelism: when True
+    # the E[D(.)] means in RaGAN are psum'd across the mesh so sharded
+    # training matches large-batch single-device semantics (SURVEY.md §7
+    # "GAN step as one jit").
+    global_ragan_mean: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """Adam settings of the reference family (SURVEY.md §2.1 "GAN train
+    loop": lr 1e-4–2e-4, betas (0.9, 0.999))."""
+
+    lr: float = 2e-4             # --lr
+    b1: float = 0.9              # --b1
+    b2: float = 0.999            # --b2
+    eps: float = 1e-8
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Patch pipeline settings (SURVEY.md §2.1 "Dataset / patch loader"):
+    DIV2K-style 48×48 LR → 192×192 HR patches, bicubic ÷4 synthesis,
+    ImageNet normalization, flip/rotate augmentation."""
+
+    dataset_dir: str = "data/train"
+    hr_patch: int = 192          # --hr_height / --hr_width
+    scale: int = 4
+    batch_size: int = 16         # --batch_size
+    augment: bool = True
+    n_workers: int = 4           # --n_cpu (host-side decode threads)
+    normalize_mean: Tuple[float, float, float] = IMAGENET_MEAN
+    normalize_std: Tuple[float, float, float] = IMAGENET_STD
+    prefetch: int = 2            # double-buffered host->HBM prefetch depth
+
+    @property
+    def lr_patch(self) -> int:
+        return self.hr_patch // self.scale
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Top-level training config — the union of the reference's train CLI
+    flags (SURVEY.md §1 L8) plus the TPU-native additions (mesh shape,
+    compute dtype)."""
+
+    generator: GeneratorConfig = GeneratorConfig()
+    discriminator: DiscriminatorConfig = DiscriminatorConfig()
+    vgg: VGGConfig = VGGConfig()
+    loss: LossConfig = LossConfig()
+    optim_g: OptimConfig = OptimConfig()
+    optim_d: OptimConfig = OptimConfig()
+    data: DataConfig = DataConfig()
+
+    n_epochs: int = 200          # --n_epochs
+    steps_per_epoch: int = 1000
+    warmup_batches: int = 500    # --warmup_batches (L1-only pretrain)
+    sample_interval: int = 100   # --sample_interval
+    checkpoint_interval: int = 1000  # --checkpoint_interval
+    checkpoint_dir: str = "checkpoints"
+    seed: int = 0
+
+    # TPU-native knobs (no reference equivalent; SURVEY.md §2.3).
+    compute_dtype: str = "bfloat16"   # conv compute dtype; params stay fp32
+    data_parallel: int = 1            # mesh size along the batch axis
+    donate_buffers: bool = True
+
+
+def preset(name: str) -> TrainConfig:
+    """Named presets mirroring the five BASELINE.json configs
+    (BASELINE.json:6-12)."""
+    presets = {
+        # 1. Single-image ×4 RRDB (23-block) inference on one 128×128 crop,
+        #    CPU-runnable.
+        "infer_single": TrainConfig(compute_dtype="float32"),
+        # 2. PSNR-only RRDBNet pretraining (L1) on 48→192 patches.
+        "pretrain_psnr": TrainConfig(
+            loss=LossConfig(lambda_adv=0.0, use_perceptual=False),
+            warmup_batches=10**9,
+            optim_g=OptimConfig(lr=2e-4),
+        ),
+        # 3. Full ESRGAN GAN training.
+        "train_gan": TrainConfig(),
+        # 4. Tiled large-frame inference (2K detector images).
+        "infer_tiled": TrainConfig(compute_dtype="bfloat16"),
+        # 5. Multi-chip data-parallel GAN training over v5e-8.
+        "train_gan_dp8": TrainConfig(data_parallel=8),
+    }
+    if name not in presets:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(presets)}")
+    return presets[name]
+
+
+PRESETS = ("infer_single", "pretrain_psnr", "train_gan", "infer_tiled",
+           "train_gan_dp8")

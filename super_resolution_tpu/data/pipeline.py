@@ -1,0 +1,168 @@
+"""Host-side image loader: decode → random-crop → batch → device prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=n)``
+worker processes (SURVEY.md §3.1 "PROCESS BOUNDARY") with decode threads
+feeding a bounded queue, plus a double-buffered ``jax.device_put``
+prefetcher standing in for the pinned-memory H2D path (SURVEY.md §2.4).
+Batches are uint8 HR patches; all arithmetic happens on-device
+(data/augment.py).
+
+Also provides :class:`SyntheticPatches` so training/benchmarks run
+without a dataset on disk.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+from super_resolution_tpu.config import DataConfig
+
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp")
+
+
+def list_images(root: str) -> List[str]:
+    files = []
+    for dirpath, _, names in os.walk(root):
+        for n in sorted(names):
+            if n.lower().endswith(IMAGE_EXTS):
+                files.append(os.path.join(dirpath, n))
+    if not files:
+        raise FileNotFoundError(f"no images under {root!r}")
+    return sorted(files)
+
+
+def _decode_crop(path: str, patch: int, rng: np.random.Generator) -> np.ndarray:
+    """PIL decode + random HR crop → (patch, patch, 3) uint8.  Images
+    smaller than the patch are reflect-padded (detector frames are ≥2K in
+    the reference data, SURVEY.md §2.1, so this is a test-data fallback)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("RGB"))
+    h, w = arr.shape[:2]
+    if h < patch or w < patch:
+        arr = np.pad(arr, ((0, max(0, patch - h)), (0, max(0, patch - w)),
+                           (0, 0)), mode="reflect")
+        h, w = arr.shape[:2]
+    top = int(rng.integers(0, h - patch + 1))
+    left = int(rng.integers(0, w - patch + 1))
+    return arr[top:top + patch, left:left + patch]
+
+
+class PatchLoader:
+    """Infinite iterator of uint8 HR patch batches (B, P, P, 3).
+
+    Threaded decode (``cfg.n_workers``) with per-epoch shuffling; batches
+    come out in a deterministic order for a fixed seed when
+    ``deterministic=True`` (single in-order consumer), matching the
+    resume semantics of SURVEY.md §5.3 via :meth:`state_dict`.
+    """
+
+    def __init__(self, cfg: DataConfig, files: Optional[Sequence[str]] = None,
+                 seed: int = 0, deterministic: bool = False):
+        self.cfg = cfg
+        self.files = list(files) if files is not None \
+            else list_images(cfg.dataset_dir)
+        self.seed = seed
+        self.step = 0
+        self.deterministic = deterministic or cfg.n_workers <= 1
+
+    # -- resume support (SURVEY.md §5.3: iterator state in the checkpoint)
+    def state_dict(self) -> dict:
+        return {"seed": self.seed, "step": self.step}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.seed, self.step = int(state["seed"]), int(state["step"])
+
+    def _sample_paths(self, step: int) -> List[str]:
+        rng = np.random.default_rng((self.seed, step))
+        idx = rng.integers(0, len(self.files), self.cfg.batch_size)
+        return [self.files[i] for i in idx]
+
+    def _make_batch(self, step: int) -> np.ndarray:
+        rng = np.random.default_rng((self.seed, step, 1))
+        paths = self._sample_paths(step)
+        return np.stack([
+            _decode_crop(p, self.cfg.hr_patch, rng) for p in paths])
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        if self.deterministic:
+            while True:
+                batch = self._make_batch(self.step)
+                self.step += 1
+                yield batch
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(2, self.cfg.prefetch * 2))
+        lock = threading.Lock()
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                with lock:
+                    step = self.step
+                    self.step += 1
+                batch = self._make_batch(step)
+                while not stop.is_set():
+                    try:
+                        q.put((step, batch), timeout=0.5)
+                        break
+                    except queue.Full:
+                        pass
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.cfg.n_workers)]
+        for t in threads:
+            t.start()
+        try:
+            while True:
+                yield q.get()[1]
+        finally:
+            stop.set()
+
+
+class SyntheticPatches:
+    """Deterministic random uint8 patches — dataset-free training/bench."""
+
+    def __init__(self, cfg: DataConfig, seed: int = 0):
+        self.cfg, self.seed, self.step = cfg, seed, 0
+
+    def state_dict(self):
+        return {"seed": self.seed, "step": self.step}
+
+    def load_state_dict(self, state):
+        self.seed, self.step = int(state["seed"]), int(state["step"])
+
+    def __iter__(self):
+        c = self.cfg
+        while True:
+            rng = np.random.default_rng((self.seed, self.step))
+            self.step += 1
+            yield rng.integers(0, 256, (c.batch_size, c.hr_patch,
+                                        c.hr_patch, 3), dtype=np.uint8)
+
+
+def device_prefetch(it: Iterator[np.ndarray], size: int = 2,
+                    sharding=None) -> Iterator[jax.Array]:
+    """Double-buffered host→HBM transfer (SURVEY.md §2.4): keep ``size``
+    batches in flight on-device while the current one computes.  With a
+    ``sharding``, batches land already sharded across the mesh (per-host
+    input sharding, SURVEY.md §5.8)."""
+    import collections
+
+    buf = collections.deque()
+    put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
+        else jax.device_put
+    for batch in it:
+        buf.append(put(batch))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

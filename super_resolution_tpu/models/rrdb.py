@@ -1,0 +1,131 @@
+"""RRDBNet ×4 generator — Flax, NHWC, bf16-ready.
+
+Architecture (SURVEY.md §2.1 "RRDB generator"; ESRGAN paper §3.1): a 3×3
+conv stem, ``n_blocks`` Residual-in-Residual Dense Blocks, a trunk conv
+with a global residual, two ×2 upsample stages, an HR conv and an output
+conv.  No BatchNorm anywhere.  The canonical 23-block/64-filter/growth-32
+model has exactly 16,697,987 parameters (SURVEY.md §2.1 [V]).
+
+One parameterization covers both branches of the reference family:
+``growth=32`` + ``upsampler='nearest_conv'`` is the xinntao/BasicSR
+variant; ``growth=64`` + ``upsampler='pixelshuffle'`` is the
+eriklindernoren variant (its dense-block convs all output ``filters``
+channels, i.e. growth == filters).  Dense blocks run 5 convs where conv k
+reads the concat of the input and all previous outputs; convs 1–4 emit
+``growth`` channels followed by LeakyReLU, conv 5 emits ``filters``
+channels with no activation; the block output is ``x + res_scale * conv5``
+and each RRDB wraps 3 dense blocks with the same outer residual scaling.
+
+TPU notes: NHWC layout feeds XLA's TPU convolution emitter directly;
+``dtype`` selects the conv compute dtype (bf16 on the MXU) while params
+stay fp32; concats are channel-last so XLA fuses the LeakyReLUs and
+residual adds into the conv epilogues.  The Pallas fused dense-block
+kernel (ops/pallas) is an optional drop-in for the inner loop.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from super_resolution_tpu.config import GeneratorConfig
+from super_resolution_tpu.models.initializers import conv_inits
+from super_resolution_tpu.ops.shuffle import nearest_upsample, pixel_shuffle
+
+
+def precision_for(dtype):
+    """fp32 means fp32: XLA's DEFAULT precision lowers f32 convs to faster
+    reduced-precision passes, which breaks checkpoint parity — so fp32
+    compute pins HIGHEST, while bf16 keeps the fast default MXU path."""
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(dtype) == jnp.float32 else None)
+
+
+def _conv3x3(x, features: int, *, name: str, scheme: str, dtype):
+    kshape = (3, 3, x.shape[-1], features)
+    kinit, binit = conv_inits(scheme, kshape)
+    return nn.Conv(
+        features, (3, 3), padding=((1, 1), (1, 1)),
+        kernel_init=kinit, bias_init=binit, precision=precision_for(dtype),
+        dtype=dtype, param_dtype=jnp.float32, name=name,
+    )(x)
+
+
+class DenseBlock(nn.Module):
+    """5-conv dense block with residual scaling (ESRGAN paper §3.1)."""
+
+    cfg: GeneratorConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        feats = x
+        out = x
+        for k in range(cfg.n_dense_convs):
+            last = k == cfg.n_dense_convs - 1
+            width = cfg.filters if last else cfg.growth
+            out = _conv3x3(feats, width, name=f"conv{k + 1}",
+                           scheme=cfg.init, dtype=self.dtype)
+            if not last:
+                out = nn.leaky_relu(out, cfg.lrelu_slope)
+                feats = jnp.concatenate([feats, out], axis=-1)
+        return x + cfg.res_scale * out
+
+
+class RRDB(nn.Module):
+    """Residual-in-Residual Dense Block: 3 dense blocks + outer residual."""
+
+    cfg: GeneratorConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = x
+        for k in range(self.cfg.n_dense):
+            out = DenseBlock(self.cfg, self.dtype, name=f"dense{k + 1}")(out)
+        return x + self.cfg.res_scale * out
+
+
+class RRDBNet(nn.Module):
+    """×4 super-resolution generator. Input/output NHWC in normalized space."""
+
+    cfg: GeneratorConfig = GeneratorConfig()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        x = x.astype(self.dtype)
+        fea = _conv3x3(x, cfg.filters, name="conv_first", scheme=cfg.init,
+                       dtype=self.dtype)
+        trunk = fea
+        for b in range(cfg.n_blocks):
+            trunk = RRDB(cfg, self.dtype, name=f"block{b}")(trunk)
+        trunk = _conv3x3(trunk, cfg.filters, name="trunk_conv",
+                         scheme=cfg.init, dtype=self.dtype)
+        fea = fea + trunk
+
+        for u in range(cfg.n_upsample):
+            if cfg.upsampler == "nearest_conv":
+                fea = nearest_upsample(fea, 2)
+                fea = _conv3x3(fea, cfg.filters, name=f"upconv{u + 1}",
+                               scheme=cfg.init, dtype=self.dtype)
+                fea = nn.leaky_relu(fea, cfg.lrelu_slope)
+            elif cfg.upsampler == "pixelshuffle":
+                fea = _conv3x3(fea, cfg.filters * 4, name=f"upconv{u + 1}",
+                               scheme=cfg.init, dtype=self.dtype)
+                fea = nn.leaky_relu(fea, cfg.lrelu_slope)
+                fea = pixel_shuffle(fea, 2)
+            else:
+                raise ValueError(f"unknown upsampler {cfg.upsampler!r}")
+
+        fea = _conv3x3(fea, cfg.filters, name="hr_conv", scheme=cfg.init,
+                       dtype=self.dtype)
+        fea = nn.leaky_relu(fea, cfg.lrelu_slope)
+        out = _conv3x3(fea, cfg.channels, name="conv_last", scheme=cfg.init,
+                       dtype=self.dtype)
+        return out.astype(jnp.float32)

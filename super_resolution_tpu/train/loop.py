@@ -1,0 +1,144 @@
+"""Training orchestration (SURVEY.md §3.1): warmup L1 pretrain →
+alternating GAN steps, periodic sampling/checkpointing, metrics, resume.
+
+The warmup/GAN switch is host-side control flow over two separately
+compiled steps — no data-dependent branches inside jit (SURVEY.md §7).
+Data parallelism: when ``cfg.data_parallel > 1`` the same compiled steps
+run with batch-sharded inputs over a Mesh (parallel/dp.py); the step code
+is identical because its semantics are already global-batch.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterator, Optional
+
+import numpy as np
+
+import jax
+
+from super_resolution_tpu.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+)
+from super_resolution_tpu.config import TrainConfig
+from super_resolution_tpu.data import (
+    PatchLoader,
+    SyntheticPatches,
+    device_prefetch,
+    to_uint8_image,
+)
+from super_resolution_tpu.metrics import MetricLogger, Throughput
+from super_resolution_tpu.parallel.dp import (
+    make_mesh,
+    shard_batch_iter,
+    shard_state,
+)
+from super_resolution_tpu.train.state import GANTrainState, init_state
+from super_resolution_tpu.train.steps import (
+    make_gan_step,
+    make_infer_fn,
+    make_pretrain_step,
+)
+
+
+def _save_sample_grid(cfg: TrainConfig, infer_fn, state: GANTrainState,
+                      hr_uint8: np.ndarray, step: int, out_dir: str):
+    """Periodic LR|SR sample dump (the reference's ``save_image`` grid,
+    SURVEY.md §3.1 [L5/obs])."""
+    from PIL import Image
+
+    from super_resolution_tpu.data.augment import preprocess_batch
+
+    os.makedirs(out_dir, exist_ok=True)
+    batch = preprocess_batch(jax.random.key(0), hr_uint8[:4], cfg.data,
+                             augment=False)
+    sr = infer_fn(state.g_params, batch["lr"])
+    sr_u8 = np.asarray(jax.device_get(to_uint8_image(sr, cfg.data)))
+    hr_u8 = np.asarray(jax.device_get(hr_uint8[:4]))
+    row = np.concatenate([np.concatenate(list(sr_u8), axis=1),
+                          np.concatenate(list(hr_u8), axis=1)], axis=0)
+    Image.fromarray(row).save(os.path.join(out_dir, f"step{step:08d}.png"))
+
+
+def train(cfg: TrainConfig,
+          data_iter: Optional[Iterator[np.ndarray]] = None,
+          total_steps: Optional[int] = None,
+          resume: bool = False,
+          log_dir: Optional[str] = None,
+          sample_dir: Optional[str] = None) -> GANTrainState:
+    """Run training; returns the final state.
+
+    ``data_iter`` defaults to a :class:`PatchLoader` over
+    ``cfg.data.dataset_dir`` (or synthetic patches if the dir is absent —
+    keeps smoke tests and benches dataset-free)."""
+    total_steps = total_steps if total_steps is not None \
+        else cfg.n_epochs * cfg.steps_per_epoch
+
+    loader = None
+    if data_iter is None:
+        if os.path.isdir(cfg.data.dataset_dir):
+            loader = PatchLoader(cfg.data, seed=cfg.seed)
+        else:
+            print(f"[train] dataset dir {cfg.data.dataset_dir!r} missing — "
+                  "using synthetic patches")
+            loader = SyntheticPatches(cfg.data, seed=cfg.seed)
+
+    state = init_state(cfg)
+    start_step = 0
+    if resume:
+        try:
+            state, data_state, start_step = restore_checkpoint(
+                cfg.checkpoint_dir, state)
+            if data_state and loader is not None:
+                loader.load_state_dict(data_state)
+            print(f"[train] resumed from step {start_step}")
+        except FileNotFoundError:
+            print("[train] no checkpoint found; starting fresh")
+
+    mesh = None
+    if cfg.data_parallel > 1:
+        mesh = make_mesh(cfg.data_parallel)
+        state = shard_state(state, mesh)
+
+    if data_iter is None:
+        data_iter = iter(loader)
+    if mesh is not None:
+        data_iter = shard_batch_iter(data_iter, mesh)
+    else:
+        data_iter = device_prefetch(data_iter, cfg.data.prefetch)
+
+    pretrain_step = make_pretrain_step(cfg)
+    gan_step = make_gan_step(cfg) if cfg.loss.lambda_adv > 0 else None
+    infer_fn = make_infer_fn(cfg)
+
+    logger = MetricLogger(log_dir)
+    meter = Throughput(n_chips=max(1, cfg.data_parallel))
+    log_every = 50
+    last_host_batch = None
+
+    for step_idx in range(start_step, total_steps):
+        batch = next(data_iter)
+        last_host_batch = batch
+        in_warmup = gan_step is None or step_idx < cfg.warmup_batches
+        step_fn = pretrain_step if in_warmup else gan_step
+        state, metrics = step_fn(state, batch)
+        logger.update(metrics)
+        meter.add(int(np.prod(batch.shape[:3])) * cfg.data.scale ** 2)
+
+        done = step_idx + 1
+        if done % log_every == 0 or done == total_steps:
+            out = logger.flush(done, "warmup" if in_warmup else "gan")
+            out["mp_per_sec_per_chip"] = meter.mp_per_sec_per_chip()
+            meter.reset()
+        if sample_dir and done % cfg.sample_interval == 0:
+            _save_sample_grid(cfg, infer_fn, state,
+                              np.asarray(jax.device_get(last_host_batch)),
+                              done, sample_dir)
+        if done % cfg.checkpoint_interval == 0 or done == total_steps:
+            data_state = loader.state_dict() if loader is not None else None
+            save_checkpoint(cfg.checkpoint_dir, state, data_state)
+
+    logger.close()
+    return state

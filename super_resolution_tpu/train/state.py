@@ -1,0 +1,84 @@
+"""Training state: one pytree carrying G/D params, both optimizer states,
+D's BatchNorm statistics, and the RNG key — so a train step is a pure
+``state, batch -> state, metrics`` function and checkpoint/resume is one
+orbax save of the whole tree (SURVEY.md §5.3-5.4)."""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from super_resolution_tpu.config import TrainConfig
+from super_resolution_tpu.models import (
+    Discriminator,
+    RRDBNet,
+    VGGFeatures,
+    load_vgg_params,
+)
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    """Adam with the reference family's hyper-parameters (SURVEY.md §2.1
+    "GAN train loop")."""
+    return optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
+
+
+@flax.struct.dataclass
+class GANTrainState:
+    step: jnp.ndarray                 # int32 scalar, on-device
+    rng: jax.Array
+    g_params: Any
+    g_opt: Any
+    d_params: Any
+    d_stats: Any                      # BatchNorm running stats
+    d_opt: Any
+    vgg_params: Any                   # frozen; None when perceptual off
+
+
+def build_models(cfg: TrainConfig):
+    dtype = jnp.dtype(cfg.compute_dtype)
+    g = RRDBNet(cfg.generator, dtype=dtype)
+    d = Discriminator(cfg.discriminator, dtype=dtype)
+    vgg = VGGFeatures(cfg.vgg, dtype=dtype) if cfg.loss.use_perceptual \
+        else None
+    return g, d, vgg
+
+
+def init_state(cfg: TrainConfig, key: Optional[jax.Array] = None,
+               ) -> GANTrainState:
+    key = jax.random.key(cfg.seed) if key is None else key
+    kg, kd, kv, krun = jax.random.split(key, 4)
+    g, d, vgg = build_models(cfg)
+
+    lr_shape = (1, cfg.data.lr_patch, cfg.data.lr_patch,
+                cfg.generator.channels)
+    hr_shape = (1, cfg.data.hr_patch, cfg.data.hr_patch,
+                cfg.generator.channels)
+    g_vars = g.init(kg, jnp.zeros(lr_shape))
+    d_vars = d.init(kd, jnp.zeros(hr_shape), train=False)
+
+    vgg_params = None
+    if vgg is not None:
+        if cfg.vgg.weights_path:
+            vgg_params = load_vgg_params(cfg.vgg.weights_path)
+        else:
+            vgg_params = vgg.init(kv, jnp.zeros(hr_shape))
+
+    return GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        rng=krun,
+        g_params=g_vars["params"],
+        g_opt=make_optimizer(cfg.optim_g).init(g_vars["params"]),
+        d_params=d_vars["params"],
+        d_stats=d_vars.get("batch_stats", {}),
+        d_opt=make_optimizer(cfg.optim_d).init(d_vars["params"]),
+        vgg_params=vgg_params,
+    )
+
+
+def n_params(tree) -> int:
+    return sum(x.size for x in jax.tree.leaves(tree))

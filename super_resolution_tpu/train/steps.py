@@ -1,0 +1,191 @@
+"""Jitted train steps: L1 warmup pretrain and the full alternating-G/D
+GAN step as single compiled functions (SURVEY.md §3.1 hot loop).
+
+Design notes (SURVEY.md §7 "GAN step as one jit"):
+
+- The warmup branch (``batches_done < warmup_batches``) is *host-side*
+  control flow: the loop picks :func:`make_pretrain_step` or
+  :func:`make_gan_step` by step count, so neither compiled graph carries a
+  dead branch.
+- One GAN step computes G grads and D grads in a single traced function:
+  preprocess → G fwd → D(hr), D(sr) → G losses/grads → D(hr), D(sr̄)
+  (detached, matching the reference's recompute) → D losses/grads → two
+  Adam updates.  ``stop_gradient`` placement mirrors the reference:
+  ``gen_hr.detach()`` for the D step and ``vgg(hr).detach()`` in the
+  perceptual term.
+- Data parallelism is *sharding, not code*: these steps contain only
+  global-batch semantics (plain ``jnp.mean``s), so running them under jit
+  with batch-sharded inputs over a Mesh reproduces large-batch
+  single-device semantics exactly — XLA inserts the psums (SURVEY.md §2.3,
+  §2.4).  RaGAN batch means and BatchNorm statistics are therefore
+  automatically mesh-global.
+- D's BatchNorm running stats update once per step from the D-step
+  forwards (the reference updates them on every forward in train mode;
+  only eval behavior depends on them).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from super_resolution_tpu.config import TrainConfig
+from super_resolution_tpu.data.augment import preprocess_batch
+from super_resolution_tpu.losses import (
+    l1_loss,
+    perceptual_loss,
+    psnr,
+    ragan_discriminator_loss,
+    ragan_generator_loss,
+)
+from super_resolution_tpu.train.state import (
+    GANTrainState,
+    build_models,
+    make_optimizer,
+)
+
+Metrics = Dict[str, jnp.ndarray]
+StepFn = Callable[[GANTrainState, jnp.ndarray],
+                  Tuple[GANTrainState, Metrics]]
+
+
+def _prep(state: GANTrainState, hr_uint8: jnp.ndarray, cfg: TrainConfig):
+    rng, k_aug = jax.random.split(state.rng)
+    batch = preprocess_batch(k_aug, hr_uint8, cfg.data)
+    return rng, batch["lr"], batch["hr"]
+
+
+def make_pretrain_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
+    """PSNR-only L1 pretraining of G (SURVEY.md §3.1 warmup branch;
+    BASELINE.json config 2)."""
+    g, _, _ = build_models(cfg)
+    opt_g = make_optimizer(cfg.optim_g)
+
+    def step(state: GANTrainState, hr_uint8: jnp.ndarray):
+        rng, lr, hr = _prep(state, hr_uint8, cfg)
+
+        def loss_fn(g_params):
+            sr = g.apply({"params": g_params}, lr)
+            return l1_loss(sr, hr), sr
+
+        (pix, sr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.g_params)
+        updates, g_opt = opt_g.update(grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        metrics = {"loss_pixel": pix, "psnr": psnr(sr, hr),
+                   "grad_norm_g": optax.global_norm(grads)}
+        return state.replace(step=state.step + 1, rng=rng,
+                             g_params=g_params, g_opt=g_opt), metrics
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,) if cfg.donate_buffers
+                       else ())
+    return step
+
+
+def make_gan_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
+    """Full ESRGAN alternating G/D step (SURVEY.md §3.1; BASELINE.json
+    config 3)."""
+    g, d, vgg = build_models(cfg)
+    opt_g = make_optimizer(cfg.optim_g)
+    opt_d = make_optimizer(cfg.optim_d)
+    lcfg = cfg.loss
+
+    def step(state: GANTrainState, hr_uint8: jnp.ndarray):
+        rng, lr, hr = _prep(state, hr_uint8, cfg)
+        d_vars = {"params": state.d_params, "batch_stats": state.d_stats}
+
+        # ---- generator update ----
+        def g_loss_fn(g_params):
+            sr = g.apply({"params": g_params}, lr)
+            pix = l1_loss(sr, hr)
+            # D in train mode (batch stats), stats discarded here — the
+            # reference's G-step forwards also run train-mode BN.
+            pr, _ = d.apply(d_vars, hr, train=True,
+                            mutable=["batch_stats"])
+            pf, _ = d.apply(d_vars, sr, train=True,
+                            mutable=["batch_stats"])
+            adv = ragan_generator_loss(pr, pf)
+            parts = {"loss_pixel": pix, "loss_adv": adv}
+            total = lcfg.lambda_adv * adv + lcfg.lambda_pixel * pix
+            if vgg is not None:
+                perc = perceptual_loss(
+                    lambda p, x: vgg.apply(p, x), state.vgg_params, sr, hr)
+                parts["loss_percep"] = perc
+                total = total + perc
+            parts["loss_g"] = total
+            return total, (sr, parts)
+
+        (_, (sr, g_parts)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params)
+        g_updates, g_opt = opt_g.update(g_grads, state.g_opt,
+                                        state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        # ---- discriminator update (recomputed forwards on detached sr,
+        # matching the reference's D step) ----
+        sr_detached = jax.lax.stop_gradient(sr)
+
+        def d_loss_fn(d_params):
+            dv = {"params": d_params, "batch_stats": state.d_stats}
+            pr, st1 = d.apply(dv, hr, train=True, mutable=["batch_stats"])
+            dv2 = {"params": d_params,
+                   "batch_stats": st1["batch_stats"]}
+            pf, st2 = d.apply(dv2, sr_detached, train=True,
+                              mutable=["batch_stats"])
+            return (ragan_discriminator_loss(pr, pf),
+                    st2["batch_stats"])
+
+        (d_loss, d_stats), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params)
+        d_updates, d_opt = opt_d.update(d_grads, state.d_opt,
+                                       state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        metrics = dict(g_parts)
+        metrics.update({
+            "loss_d": d_loss,
+            "psnr": psnr(sr_detached, hr),
+            "grad_norm_g": optax.global_norm(g_grads),
+            "grad_norm_d": optax.global_norm(d_grads),
+        })
+        new_state = state.replace(
+            step=state.step + 1, rng=rng,
+            g_params=g_params, g_opt=g_opt,
+            d_params=d_params, d_stats=d_stats, d_opt=d_opt)
+        return new_state, metrics
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,) if cfg.donate_buffers
+                       else ())
+    return step
+
+
+def make_infer_fn(cfg: TrainConfig, jit: bool = True):
+    """Jitted normalized-LR → normalized-SR forward (SURVEY.md §3.2)."""
+    g, _, _ = build_models(cfg)
+
+    def infer(g_params, lr):
+        return g.apply({"params": g_params}, lr)
+
+    return jax.jit(infer) if jit else infer
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def eval_batch(cfg: TrainConfig, g_params, hr_uint8) -> Metrics:
+    """Deterministic eval: no augmentation; PSNR in normalized space is
+    computed on denormalized [0,1] images (SURVEY.md §3.3)."""
+    from super_resolution_tpu.data.augment import denormalize
+
+    g, _, _ = build_models(cfg)
+    batch = preprocess_batch(jax.random.key(0), hr_uint8, cfg.data,
+                             augment=False)
+    sr = g.apply({"params": g_params}, batch["lr"])
+    mean, std = cfg.data.normalize_mean, cfg.data.normalize_std
+    sr01 = jnp.clip(denormalize(sr, mean, std), 0.0, 1.0)
+    hr01 = denormalize(batch["hr"], mean, std)
+    return {"psnr": psnr(sr01, hr01)}

@@ -1,0 +1,13 @@
+"""Test harness config: run everything on the CPU backend with 8 virtual
+devices so the same Mesh/shard_map code path as a v5e-8 slice is exercised
+without TPU hardware (SURVEY.md §4.4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -1,0 +1,147 @@
+"""Data pipeline tests: normalization round-trip, augment statistics,
+loader determinism/resume, prefetch (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from super_resolution_tpu.config import DataConfig
+from super_resolution_tpu.data import (
+    PatchLoader,
+    SyntheticPatches,
+    augment_batch,
+    denormalize,
+    device_prefetch,
+    normalize,
+    preprocess_batch,
+    to_uint8_image,
+)
+
+CFG = DataConfig(hr_patch=32, batch_size=4, n_workers=2)
+
+
+def test_normalize_roundtrip():
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 3),
+                    dtype=jnp.float32)
+    y = denormalize(normalize(x, CFG.normalize_mean, CFG.normalize_std),
+                    CFG.normalize_mean, CFG.normalize_std)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_normalize_matches_torchvision_semantics():
+    """(x - mean) / std per channel — the family's Normalize transform."""
+    x = np.random.RandomState(1).rand(1, 4, 4, 3).astype(np.float32)
+    out = np.asarray(normalize(jnp.asarray(x), CFG.normalize_mean,
+                               CFG.normalize_std))
+    for c in range(3):
+        ref = (x[..., c] - CFG.normalize_mean[c]) / CFG.normalize_std[c]
+        np.testing.assert_allclose(out[..., c], ref, rtol=1e-5)
+
+
+def test_preprocess_batch_shapes_and_stats():
+    hr = jnp.asarray(np.random.RandomState(2).randint(
+        0, 256, (4, 32, 32, 3), dtype=np.uint8))
+    out = preprocess_batch(jax.random.key(0), hr, CFG)
+    assert out["lr"].shape == (4, 8, 8, 3)
+    assert out["hr"].shape == (4, 32, 32, 3)
+    # normalized uniform-noise stats: mean ≈ (0.5 - mean)/std
+    for c in range(3):
+        expect = (0.5 - CFG.normalize_mean[c]) / CFG.normalize_std[c]
+        assert float(out["hr"][..., c].mean()) == pytest.approx(expect,
+                                                                abs=0.05)
+
+
+def test_augment_is_pixel_permutation():
+    x = jnp.asarray(np.random.RandomState(3).rand(8, 16, 16, 3),
+                    dtype=jnp.float32)
+    y = augment_batch(jax.random.key(1), x)
+    # flips/rotations permute pixels within each sample: sorted values equal
+    np.testing.assert_allclose(
+        np.sort(np.asarray(y).reshape(8, -1), axis=1),
+        np.sort(np.asarray(x).reshape(8, -1), axis=1), atol=0)
+    # and with 8 samples × 3 coin flips, at least one sample must change
+    assert np.abs(np.asarray(y) - np.asarray(x)).max() > 0
+
+
+def test_augment_nonsquare_skips_rotation():
+    x = jnp.asarray(np.random.RandomState(4).rand(4, 8, 16, 3),
+                    dtype=jnp.float32)
+    y = augment_batch(jax.random.key(2), x)   # must not raise
+    assert y.shape == x.shape
+
+
+def test_to_uint8_roundtrip():
+    img = jnp.asarray(np.random.RandomState(5).randint(
+        0, 256, (1, 8, 8, 3), dtype=np.uint8))
+    norm = preprocess_batch(jax.random.key(0), img, CFG,
+                            augment=False)["hr"]
+    back = to_uint8_image(norm, CFG)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(img))
+
+
+@pytest.fixture
+def image_dir(tmp_path):
+    rng = np.random.RandomState(6)
+    for i in range(3):
+        arr = rng.randint(0, 256, (48 + 8 * i, 40 + 4 * i, 3),
+                          dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"im{i}.png")
+    return str(tmp_path)
+
+
+def test_patch_loader_shapes_and_determinism(image_dir):
+    cfg = DataConfig(dataset_dir=image_dir, hr_patch=32, batch_size=4,
+                     n_workers=1)
+    a = iter(PatchLoader(cfg, seed=7))
+    b = iter(PatchLoader(cfg, seed=7))
+    for _ in range(3):
+        ba, bb = next(a), next(b)
+        assert ba.shape == (4, 32, 32, 3) and ba.dtype == np.uint8
+        np.testing.assert_array_equal(ba, bb)
+
+
+def test_patch_loader_resume(image_dir):
+    cfg = DataConfig(dataset_dir=image_dir, hr_patch=16, batch_size=2,
+                     n_workers=1)
+    loader = PatchLoader(cfg, seed=8)
+    it = iter(loader)
+    next(it); next(it)
+    state = loader.state_dict()
+
+    resumed = PatchLoader(cfg, seed=0)
+    resumed.load_state_dict(state)
+    np.testing.assert_array_equal(next(iter(resumed)), next(it))
+
+
+def test_patch_loader_small_images_padded(tmp_path):
+    Image.fromarray(np.zeros((10, 10, 3), np.uint8)).save(tmp_path / "s.png")
+    cfg = DataConfig(dataset_dir=str(tmp_path), hr_patch=32, batch_size=1,
+                     n_workers=1)
+    assert next(iter(PatchLoader(cfg))).shape == (1, 32, 32, 3)
+
+
+def test_synthetic_patches_deterministic():
+    a = iter(SyntheticPatches(CFG, seed=1))
+    b = iter(SyntheticPatches(CFG, seed=1))
+    np.testing.assert_array_equal(next(a), next(b))
+
+
+def test_device_prefetch_preserves_order_and_content():
+    batches = [np.full((2, 4, 4, 3), i, np.uint8) for i in range(5)]
+    out = list(device_prefetch(iter(batches), size=2))
+    assert len(out) == 5
+    for i, x in enumerate(out):
+        assert isinstance(x, jax.Array)
+        np.testing.assert_array_equal(np.asarray(x), batches[i])
+
+
+def test_threaded_loader_yields_valid_batches(image_dir):
+    cfg = DataConfig(dataset_dir=image_dir, hr_patch=16, batch_size=2,
+                     n_workers=3)
+    it = iter(PatchLoader(cfg, seed=9, deterministic=False))
+    for _ in range(5):
+        b = next(it)
+        assert b.shape == (2, 16, 16, 3) and b.dtype == np.uint8

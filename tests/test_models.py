@@ -1,0 +1,98 @@
+"""Shape/param-count unit tests (SURVEY.md §4.2: 16,697,987 params for the
+canonical 23-block generator)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from super_resolution_tpu.config import DiscriminatorConfig, GeneratorConfig
+from super_resolution_tpu.models import Discriminator, RRDBNet, VGGFeatures
+from super_resolution_tpu.ops import nearest_upsample, pixel_shuffle
+
+
+def _n_params(tree):
+    return sum(x.size for x in jax.tree.leaves(tree))
+
+
+def test_canonical_generator_param_count():
+    g = RRDBNet(GeneratorConfig())
+    params = jax.eval_shape(
+        lambda k: g.init(k, jnp.zeros((1, 8, 8, 3))), jax.random.key(0))
+    assert _n_params(params) == 16_697_987
+
+
+def test_generator_output_shape_and_scale():
+    cfg = GeneratorConfig(n_blocks=1, filters=16, growth=8)
+    g = RRDBNet(cfg)
+    v = g.init(jax.random.key(0), jnp.zeros((2, 12, 10, 3)))
+    y = g.apply(v, jnp.zeros((2, 12, 10, 3)))
+    assert y.shape == (2, 48, 40, 3)
+    assert y.dtype == jnp.float32
+
+
+def test_generator_bf16_close_to_fp32():
+    cfg = GeneratorConfig(n_blocks=1, filters=16, growth=8)
+    v = RRDBNet(cfg).init(jax.random.key(1), jnp.zeros((1, 16, 16, 3)))
+    x = jax.random.normal(jax.random.key(2), (1, 16, 16, 3))
+    y32 = RRDBNet(cfg, dtype=jnp.float32).apply(v, x)
+    y16 = RRDBNet(cfg, dtype=jnp.bfloat16).apply(v, x)
+    assert y16.dtype == jnp.float32          # outputs upcast
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y32), atol=0.1)
+
+
+def test_discriminator_param_count_and_logit_map():
+    d = Discriminator(DiscriminatorConfig())
+    v = jax.eval_shape(
+        lambda k: d.init(k, jnp.zeros((1, 192, 192, 3))), jax.random.key(0))
+    assert _n_params(v["params"]) == 4_693_697
+    d_small = Discriminator()
+    vs = d_small.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    y = d_small.apply(vs, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert y.shape == (1, 4, 4, 1)           # (H/16, W/16) logit map
+
+
+def test_vgg_param_count():
+    v = VGGFeatures()
+    params = jax.eval_shape(
+        lambda k: v.init(k, jnp.zeros((1, 32, 32, 3))), jax.random.key(0))
+    assert _n_params(params) == 20_024_384
+
+
+def test_pixel_shuffle_matches_torch_semantics():
+    import torch
+
+    x = np.random.RandomState(0).randn(2, 3, 4, 16).astype(np.float32)
+    ours = np.asarray(pixel_shuffle(jnp.asarray(x), 2))
+    ref = torch.nn.functional.pixel_shuffle(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), 2
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_nearest_upsample_matches_torch():
+    import torch
+
+    x = np.random.RandomState(1).randn(1, 5, 7, 4).astype(np.float32)
+    ours = np.asarray(nearest_upsample(jnp.asarray(x), 2))
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), scale_factor=2,
+        mode="nearest").numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("scheme", ["torch_default", "msra_scaled"])
+def test_init_schemes_statistics(scheme):
+    cfg = GeneratorConfig(n_blocks=1, filters=64, growth=32, init=scheme)
+    v = RRDBNet(cfg).init(jax.random.key(3), jnp.zeros((1, 8, 8, 3)))
+    k = v["params"]["block0"]["dense1"]["conv2"]["kernel"]
+    fan_in = 9 * k.shape[2]
+    if scheme == "torch_default":
+        bound = 1.0 / np.sqrt(fan_in)
+        assert float(jnp.abs(k).max()) <= bound + 1e-6
+        assert float(jnp.std(k)) == pytest.approx(bound / np.sqrt(3), rel=0.1)
+    else:
+        assert float(jnp.std(k)) == pytest.approx(
+            0.1 * np.sqrt(2.0 / fan_in), rel=0.1)
+        assert float(jnp.abs(v["params"]["block0"]["dense1"]["conv2"]
+                             ["bias"]).max()) == 0.0
