@@ -11,13 +11,14 @@ deterministic resume.  Torch ``.pth`` files import through
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import TYPE_CHECKING, Optional, Tuple
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from super_resolution_tpu.train.state import GANTrainState
+if TYPE_CHECKING:   # avoid circular import with train.loop
+    from super_resolution_tpu.train.state import GANTrainState
 
 
 def _manager(ckpt_dir: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
@@ -28,7 +29,7 @@ def _manager(ckpt_dir: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
     )
 
 
-def save_checkpoint(ckpt_dir: str, state: GANTrainState,
+def save_checkpoint(ckpt_dir: str, state: "GANTrainState",
                     data_state: Optional[dict] = None,
                     max_to_keep: int = 5) -> int:
     step = int(jax.device_get(state.step))
@@ -42,16 +43,19 @@ def save_checkpoint(ckpt_dir: str, state: GANTrainState,
 
 
 def restore_checkpoint(
-        ckpt_dir: str, template: GANTrainState,
+        ckpt_dir: str, template: "GANTrainState",
         step: Optional[int] = None,
-) -> Tuple[GANTrainState, Optional[dict], int]:
+) -> Tuple["GANTrainState", Optional[dict], int]:
     """Restore (state, data_state, step).  ``template`` supplies the tree
     structure/shapes (build it with ``init_state`` on the same config)."""
     with _manager(ckpt_dir) as mgr:
         step = mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
-        has_data = "data" in (mgr.item_metadata(step) or {})
+        # detect the optional data-iterator item by path (item_metadata
+        # spews restore warnings for composite items)
+        has_data = os.path.isdir(
+            os.path.join(os.path.abspath(ckpt_dir), str(step), "data"))
         args = {"state": ocp.args.StandardRestore(template)}
         if has_data:
             args["data"] = ocp.args.JsonRestore()

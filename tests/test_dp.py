@@ -1,0 +1,122 @@
+"""Distributed tests without a cluster (SURVEY.md §4.4): the identical
+jitted train step runs with batch-sharded inputs over an 8-virtual-device
+CPU mesh and must reproduce single-device global-batch semantics exactly
+(grads, RaGAN means, BatchNorm stats)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from super_resolution_tpu.config import (
+    DataConfig,
+    DiscriminatorConfig,
+    GeneratorConfig,
+    LossConfig,
+    TrainConfig,
+    VGGConfig,
+)
+from super_resolution_tpu.data import SyntheticPatches
+from super_resolution_tpu.parallel import (
+    batch_sharded,
+    make_mesh,
+    pad_batch_to_mesh,
+    shard_state,
+)
+from super_resolution_tpu.train import (
+    init_state,
+    make_gan_step,
+    make_pretrain_step,
+)
+
+
+def dp_cfg():
+    return TrainConfig(
+        generator=GeneratorConfig(n_blocks=1, filters=16, growth=8),
+        discriminator=DiscriminatorConfig(base_filters=8, n_scales=2),
+        vgg=VGGConfig(arch=(8, "M", 16)),
+        loss=LossConfig(use_perceptual=False),
+        data=DataConfig(hr_patch=32, batch_size=8, n_workers=1),
+        compute_dtype="float32",
+        donate_buffers=False,
+    )
+
+
+def _batch(cfg):
+    return jnp.asarray(next(iter(SyntheticPatches(cfg.data, seed=3))))
+
+
+def _leaves_close(a, b, atol):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol)
+
+
+def test_pretrain_step_sharded_equals_single_device():
+    cfg = dp_cfg()
+    batch = _batch(cfg)
+    step = make_pretrain_step(cfg)
+
+    s_single, m_single = step(init_state(cfg), batch)
+
+    mesh = make_mesh(8)
+    state = shard_state(init_state(cfg), mesh)
+    sharded_batch = jax.device_put(batch, batch_sharded(mesh))
+    s_dp, m_dp = step(state, sharded_batch)
+
+    assert len(s_dp.g_params["conv_first"]["kernel"].sharding.device_set) == 8
+    np.testing.assert_allclose(float(m_dp["loss_pixel"]),
+                               float(m_single["loss_pixel"]), atol=1e-6)
+    _leaves_close(s_single.g_params, s_dp.g_params, atol=1e-5)
+
+
+def test_gan_step_sharded_equals_single_device():
+    """RaGAN batch means and BN batch stats must be mesh-global under the
+    sharded jit — large-batch semantics (SURVEY.md §7)."""
+    cfg = dp_cfg()
+    batch = _batch(cfg)
+    step = make_gan_step(cfg)
+
+    s_single, m_single = step(init_state(cfg), batch)
+
+    mesh = make_mesh(8)
+    s_dp, m_dp = step(shard_state(init_state(cfg), mesh),
+                      jax.device_put(batch, batch_sharded(mesh)))
+
+    # tolerance: psum tree-reduction order vs sequential fp32 mean drifts
+    # ~1e-4; a per-shard-mean semantics bug would be orders larger
+    for k in ("loss_g", "loss_d", "loss_adv"):
+        np.testing.assert_allclose(float(m_dp[k]), float(m_single[k]),
+                                   atol=5e-4, err_msg=k)
+    _leaves_close(s_single.g_params, s_dp.g_params, atol=1e-3)
+    _leaves_close(s_single.d_params, s_dp.d_params, atol=1e-3)
+    _leaves_close(s_single.d_stats, s_dp.d_stats, atol=1e-3)
+
+
+def test_multi_step_sharded_training_stays_in_sync():
+    cfg = dp_cfg()
+    step = make_pretrain_step(cfg)
+    mesh = make_mesh(8)
+    it = iter(SyntheticPatches(cfg.data, seed=4))
+
+    single = init_state(cfg)
+    dp = shard_state(init_state(cfg), mesh)
+    for _ in range(3):
+        b = jnp.asarray(next(it))
+        single, _ = step(single, b)
+        dp, _ = step(dp, jax.device_put(b, batch_sharded(mesh)))
+    _leaves_close(single.g_params, dp.g_params, atol=1e-4)
+
+
+def test_pad_batch_to_mesh():
+    mesh = make_mesh(8)
+    b = np.zeros((5, 4, 4, 3), np.uint8)
+    padded = pad_batch_to_mesh(b, mesh)
+    assert padded.shape[0] == 8
+    np.testing.assert_array_equal(padded[5:], np.repeat(b[-1:], 3, axis=0))
+
+
+def test_mesh_construction_errors():
+    import pytest
+
+    with pytest.raises(ValueError, match="need 16 devices"):
+        make_mesh(16)

@@ -1,0 +1,172 @@
+"""Training-step and checkpoint tests (SURVEY.md §4.5): loss-decreases
+smoke, GAN step sanity, save/restore/resume equivalence, net_interp."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from super_resolution_tpu.checkpoint import (
+    net_interp,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from super_resolution_tpu.config import (
+    DataConfig,
+    DiscriminatorConfig,
+    GeneratorConfig,
+    LossConfig,
+    OptimConfig,
+    TrainConfig,
+    VGGConfig,
+)
+from super_resolution_tpu.data import SyntheticPatches
+from super_resolution_tpu.train import (
+    eval_batch,
+    init_state,
+    make_gan_step,
+    make_infer_fn,
+    make_pretrain_step,
+    train,
+)
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        generator=GeneratorConfig(n_blocks=1, filters=16, growth=8),
+        discriminator=DiscriminatorConfig(base_filters=8, n_scales=2),
+        vgg=VGGConfig(arch=(8, "M", 16)),
+        loss=LossConfig(use_perceptual=False),
+        data=DataConfig(hr_patch=32, batch_size=2, n_workers=1),
+        optim_g=OptimConfig(lr=1e-3),
+        optim_d=OptimConfig(lr=1e-3),
+        compute_dtype="float32",
+        checkpoint_interval=10 ** 9,
+        donate_buffers=False,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def _batches(cfg, n, seed=0):
+    it = iter(SyntheticPatches(cfg.data, seed=seed))
+    return [next(it) for _ in range(n)]
+
+
+def test_pretrain_loss_decreases():
+    cfg = tiny_cfg()
+    step = make_pretrain_step(cfg)
+    state = init_state(cfg)
+    losses = []
+    # learnable target: flat-color patches (downsample of a constant is the
+    # constant, so L1 can actually reach ~0) — random noise would test only
+    # the unpredictable component
+    rng = np.random.RandomState(0)
+    colors = rng.randint(0, 256, (cfg.data.batch_size, 1, 1, 3), np.uint8)
+    batch = jnp.asarray(np.broadcast_to(
+        colors, (cfg.data.batch_size, 32, 32, 3)))
+    for _ in range(60):
+        state, m = step(state, batch)
+        losses.append(float(m["loss_pixel"]))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+    assert int(jax.device_get(state.step)) == 60
+
+
+def test_gan_step_runs_and_updates_everything():
+    cfg = tiny_cfg()
+    state = init_state(cfg)
+    step = make_gan_step(cfg)
+    batch = jnp.asarray(_batches(cfg, 1)[0])
+    new_state, m = step(state, batch)
+    for k in ("loss_g", "loss_d", "loss_pixel", "loss_adv", "psnr",
+              "grad_norm_g", "grad_norm_d"):
+        assert k in m and np.isfinite(float(m[k])), k
+    # all four learnable components moved
+    def changed(a, b):
+        return any(float(jnp.abs(x - y).max()) > 0 for x, y in
+                   zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+    assert changed(state.g_params, new_state.g_params)
+    assert changed(state.d_params, new_state.d_params)
+    assert changed(state.d_stats, new_state.d_stats)
+    assert int(jax.device_get(new_state.step)) == 1
+
+
+def test_gan_step_with_perceptual():
+    cfg = tiny_cfg(loss=LossConfig(use_perceptual=True))
+    state = init_state(cfg)
+    assert state.vgg_params is not None
+    _, m = make_gan_step(cfg)(state, jnp.asarray(_batches(cfg, 1)[0]))
+    assert np.isfinite(float(m["loss_percep"]))
+    # perceptual dominates the G loss (weight 1 vs 5e-3/1e-2)
+    assert float(m["loss_g"]) == pytest.approx(
+        float(m["loss_percep"]) + 5e-3 * float(m["loss_adv"])
+        + 1e-2 * float(m["loss_pixel"]), rel=1e-5)
+
+
+def test_train_loop_smoke_and_warmup_switch(tmp_path):
+    cfg = tiny_cfg(warmup_batches=2,
+                   checkpoint_dir=str(tmp_path / "ck"),
+                   checkpoint_interval=4)
+    state = train(cfg, total_steps=4)
+    assert int(jax.device_get(state.step)) == 4
+
+
+def test_checkpoint_resume_equivalence(tmp_path):
+    """Stop/save/restore/continue must equal an uninterrupted run
+    (SURVEY.md §4.5, §5.3)."""
+    cfg = tiny_cfg(checkpoint_dir=str(tmp_path / "ck"))
+    step = make_pretrain_step(cfg)
+    batches = _batches(cfg, 5)
+
+    state = init_state(cfg)
+    for b in batches[:3]:
+        state, _ = step(state, jnp.asarray(b))
+    save_checkpoint(cfg.checkpoint_dir, state, {"seed": 0, "step": 3})
+
+    restored, data_state, at = restore_checkpoint(cfg.checkpoint_dir,
+                                                  init_state(cfg))
+    assert at == 3 and data_state == {"seed": 0, "step": 3}
+    for b in batches[3:]:
+        restored, _ = step(restored, jnp.asarray(b))
+
+    cont = init_state(cfg)
+    for b in batches:
+        cont, _ = step(cont, jnp.asarray(b))
+
+    for a, b in zip(jax.tree.leaves(restored.g_params),
+                    jax.tree.leaves(cont.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(restored.g_opt),
+                    jax.tree.leaves(cont.g_opt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_net_interp_blend():
+    cfg = tiny_cfg()
+    pa = init_state(cfg).g_params
+    pb = init_state(tiny_cfg(seed=1)).g_params
+    mid = net_interp(pa, pb, 0.25)
+    la, lb, lm = (jax.tree.leaves(t) for t in (pa, pb, mid))
+    for a, b, m in zip(la, lb, lm):
+        np.testing.assert_allclose(np.asarray(m),
+                                   0.75 * np.asarray(a)
+                                   + 0.25 * np.asarray(b), rtol=1e-6)
+    with pytest.raises(ValueError):
+        net_interp(pa, pb, 1.5)
+
+
+def test_eval_batch_psnr_sane():
+    cfg = tiny_cfg()
+    state = init_state(cfg)
+    m = eval_batch(cfg, state.g_params, jnp.asarray(_batches(cfg, 1)[0]))
+    val = float(m["psnr"])
+    assert 3.0 < val < 60.0        # untrained net on noise: low but finite
+
+
+def test_infer_fn_shape():
+    cfg = tiny_cfg()
+    state = init_state(cfg)
+    out = make_infer_fn(cfg)(state.g_params,
+                             jnp.zeros((2, 8, 8, 3)))
+    assert out.shape == (2, 32, 32, 3)
