@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Headline benchmark: ×4 RRDB (23-block) inference megapixels/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+- Model: canonical 23-block/64-filter/growth-32 RRDBNet (16,697,987
+  params), bf16 compute / fp32 params, NHWC.
+- Workload: batched 128×128 LR tiles → 512×512 SR (the tiled-inference
+  production shape).
+- Timing: a lax.scan chain of ITERS dependent forwards inside ONE jit,
+  synchronized by `jax.device_get` of a scalar.  This is deliberate: on
+  the axon-tunneled chip `block_until_ready` does not actually block and
+  every synchronized call pays a ~25 ms roundtrip floor, so naive timing
+  loops are wildly wrong (see BENCHNOTES.md "Measurement gotchas").
+- vs_baseline: ratio against the measured CPU torch reference
+  (0.0409 MP/s — tests/torch_spec.py RRDBNetTorch on this host, see
+  BASELINE.md).  BASELINE.json target: ≥ 5×.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Measured CPU torch reference (BASELINE.md): 23-block RRDB, 64x64->256x256,
+# single-core host, torch 2.13.0+cpu.
+CPU_REFERENCE_MP_S = 0.0409
+
+TILE = 128          # LR tile size (production tiled-inference shape)
+BATCH = 8
+ITERS = 10          # chained forwards per timed call
+TUNNEL_FLOOR_S = 0.025
+
+
+def main() -> int:
+    from super_resolution_tpu.config import GeneratorConfig
+    from super_resolution_tpu.models import RRDBNet
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev}", file=sys.stderr)
+
+    cfg = GeneratorConfig()
+    model = RRDBNet(cfg, dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, 32, 32, 3)))
+    x = jax.random.normal(jax.random.key(1), (BATCH, TILE, TILE, 3),
+                          jnp.float32)
+
+    def chained(params, x):
+        def body(c, _):
+            y = model.apply(params, x * (1.0 + c))
+            return jnp.sum(y.astype(jnp.float32)) * 1e-12, None
+        c, _ = jax.lax.scan(body, 0.0, None, length=ITERS)
+        return c
+
+    f = jax.jit(chained)
+    t0 = time.perf_counter()
+    jax.device_get(f(params, x))           # compile + warm
+    print(f"[bench] compile+first: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(f(params, x))
+        best = min(best, time.perf_counter() - t0)
+    per_batch = max(best - TUNNEL_FLOOR_S, 1e-9) / ITERS
+
+    out_mp = BATCH * (TILE * cfg.scale) ** 2 / 1e6
+    mp_s = out_mp / per_batch
+    print(f"[bench] {per_batch * 1000:.1f} ms per {BATCH}x{TILE}² batch "
+          f"(best of 3, {ITERS} chained iters)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "rrdb23_x4_infer_throughput",
+        "value": round(mp_s, 3),
+        "unit": "megapixels/sec/chip",
+        "vs_baseline": round(mp_s / CPU_REFERENCE_MP_S, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -64,6 +64,20 @@ def restore_checkpoint(
     return out["state"], data_state, step
 
 
+def restore_generator_params(ckpt_dir: str,
+                             step: Optional[int] = None):
+    """Template-free restore of just the generator params from a full
+    train-state checkpoint (inference/eval path — no need to rebuild the
+    optimizer/VGG trees)."""
+    with _manager(ckpt_dir) as mgr:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
+        raw = mgr.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore()))
+    return raw["state"]["g_params"], step
+
+
 def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None

@@ -1,0 +1,257 @@
+"""CLI — preserves the reference's ``train`` / ``eval`` / ``upscale``
+surface (BASELINE.json north star; SURVEY.md §1 L8 flag set) and adds
+``interp`` (ESRGAN network interpolation, SURVEY.md §2.1).
+
+    python -m super_resolution_tpu.cli train   --dataset_dir data/train ...
+    python -m super_resolution_tpu.cli eval    --dataset_dir data/val \
+        --checkpoint ck_or_pth ...
+    python -m super_resolution_tpu.cli upscale --image frame.png \
+        --checkpoint gen.pth --out sr.png
+    python -m super_resolution_tpu.cli interp  --psnr_ckpt a.pth \
+        --gan_ckpt b.pth --alpha 0.8 --out blended.npz
+
+Checkpoints: both orbax directories (this framework's native format) and
+torch ``.pth`` files (the reference's format, via import_torch) are
+accepted everywhere a checkpoint is read.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _build_cfg(args) -> "TrainConfig":
+    from super_resolution_tpu.config import (
+        DataConfig,
+        GeneratorConfig,
+        LossConfig,
+        OptimConfig,
+        TrainConfig,
+        preset,
+    )
+
+    cfg = preset(args.preset) if args.preset else TrainConfig()
+    gen = dataclasses.replace(
+        cfg.generator,
+        n_blocks=args.residual_blocks,
+        channels=args.channels,
+        upsampler=args.upsampler,
+    )
+    data = dataclasses.replace(
+        cfg.data,
+        dataset_dir=getattr(args, "dataset_dir", cfg.data.dataset_dir),
+        hr_patch=args.hr_height,
+        batch_size=getattr(args, "batch_size", cfg.data.batch_size),
+        n_workers=getattr(args, "n_cpu", cfg.data.n_workers),
+    )
+    loss = dataclasses.replace(
+        cfg.loss,
+        lambda_adv=getattr(args, "lambda_adv", cfg.loss.lambda_adv),
+        lambda_pixel=getattr(args, "lambda_pixel", cfg.loss.lambda_pixel),
+        use_perceptual=not getattr(args, "no_perceptual",
+                                   not cfg.loss.use_perceptual),
+    )
+    opt = OptimConfig(lr=getattr(args, "lr", cfg.optim_g.lr),
+                      b1=getattr(args, "b1", cfg.optim_g.b1),
+                      b2=getattr(args, "b2", cfg.optim_g.b2))
+    return dataclasses.replace(
+        cfg, generator=gen, data=data, loss=loss, optim_g=opt, optim_d=opt,
+        n_epochs=getattr(args, "n_epochs", cfg.n_epochs),
+        warmup_batches=getattr(args, "warmup_batches", cfg.warmup_batches),
+        sample_interval=getattr(args, "sample_interval",
+                                cfg.sample_interval),
+        checkpoint_interval=getattr(args, "checkpoint_interval",
+                                    cfg.checkpoint_interval),
+        checkpoint_dir=getattr(args, "checkpoint_dir", cfg.checkpoint_dir),
+        compute_dtype=args.dtype,
+        data_parallel=getattr(args, "data_parallel", cfg.data_parallel),
+        seed=args.seed,
+        vgg=dataclasses.replace(cfg.vgg, weights_path=args.vgg_weights)
+        if getattr(args, "vgg_weights", None) else cfg.vgg,
+    )
+
+
+def _load_generator(args, cfg):
+    """Load generator params from a torch .pth or an orbax dir; returns
+    (params, possibly-updated cfg)."""
+    import jax
+
+    from super_resolution_tpu.import_torch import (
+        import_generator,
+        load_pth,
+    )
+
+    path = args.checkpoint
+    if os.path.isfile(path):            # torch .pth / .pt — arch inferred
+        variables, gen_cfg = import_generator(load_pth(path))
+        cfg = dataclasses.replace(cfg, generator=gen_cfg)
+        return variables["params"], cfg
+    if os.path.isdir(path):             # orbax checkpoint dir
+        from super_resolution_tpu.checkpoint import restore_generator_params
+
+        g_params, step = restore_generator_params(path)
+        print(f"[cli] restored orbax checkpoint at step {step}")
+        return jax.device_get(g_params), cfg
+    raise FileNotFoundError(path)
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--preset", choices=("infer_single", "pretrain_psnr",
+                                        "train_gan", "infer_tiled",
+                                        "train_gan_dp8"), default=None)
+    p.add_argument("--residual_blocks", type=int, default=23,
+                   help="number of RRDB blocks (reference flag)")
+    p.add_argument("--channels", type=int, default=3)
+    p.add_argument("--hr_height", type=int, default=192)
+    p.add_argument("--hr_width", type=int, default=192,
+                   help="accepted for reference-CLI compatibility; patches "
+                        "are square (hr_height is used)")
+    p.add_argument("--upsampler", choices=("nearest_conv", "pixelshuffle"),
+                   default="nearest_conv")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"))
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--vgg_weights", default=None,
+                   help="npz from tools/convert_vgg.py")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="super_resolution_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    # ---- train ----
+    t = sub.add_parser("train", help="GAN / PSNR-pretrain training")
+    _add_common(t)
+    t.add_argument("--dataset_dir", required=True)
+    t.add_argument("--n_epochs", type=int, default=200)
+    t.add_argument("--steps", type=int, default=None,
+                   help="total steps override (default epochs*1000)")
+    t.add_argument("--batch_size", type=int, default=16)
+    t.add_argument("--n_cpu", type=int, default=4)
+    t.add_argument("--lr", type=float, default=2e-4)
+    t.add_argument("--b1", type=float, default=0.9)
+    t.add_argument("--b2", type=float, default=0.999)
+    t.add_argument("--warmup_batches", type=int, default=500)
+    t.add_argument("--lambda_adv", type=float, default=5e-3)
+    t.add_argument("--lambda_pixel", type=float, default=1e-2)
+    t.add_argument("--no_perceptual", action="store_true")
+    t.add_argument("--sample_interval", type=int, default=100)
+    t.add_argument("--checkpoint_interval", type=int, default=1000)
+    t.add_argument("--checkpoint_dir", default="checkpoints")
+    t.add_argument("--sample_dir", default=None)
+    t.add_argument("--log_dir", default=None)
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--data_parallel", type=int, default=1)
+
+    # ---- eval ----
+    e = sub.add_parser("eval", help="PSNR/SSIM over a validation dir")
+    _add_common(e)
+    e.add_argument("--dataset_dir", required=True)
+    e.add_argument("--checkpoint", required=True)
+    e.add_argument("--tile", type=int, default=128)
+    e.add_argument("--halo", type=int, default=8)
+    e.add_argument("--tile_batch", type=int, default=4)
+    e.add_argument("--max_images", type=int, default=None)
+    e.add_argument("--json", action="store_true")
+
+    # ---- upscale ----
+    u = sub.add_parser("upscale", help="×4 upscale one image (tiled)")
+    _add_common(u)
+    u.add_argument("--image", required=True)
+    u.add_argument("--checkpoint", required=True)
+    u.add_argument("--out", required=True)
+    u.add_argument("--tile", type=int, default=128)
+    u.add_argument("--halo", type=int, default=8)
+    u.add_argument("--tile_batch", type=int, default=4)
+
+    # ---- interp ----
+    i = sub.add_parser("interp", help="network interpolation (ESRGAN §3.4)")
+    _add_common(i)
+    i.add_argument("--psnr_ckpt", required=True)
+    i.add_argument("--gan_ckpt", required=True)
+    i.add_argument("--alpha", type=float, required=True)
+    i.add_argument("--out", required=True)
+
+    args = parser.parse_args(argv)
+    cfg = _build_cfg(args)
+
+    if args.cmd == "train":
+        from super_resolution_tpu.train import train
+
+        train(cfg, total_steps=args.steps, resume=args.resume,
+              log_dir=args.log_dir, sample_dir=args.sample_dir)
+        return 0
+
+    if args.cmd == "eval":
+        from super_resolution_tpu.train.evaluate import evaluate_directory
+
+        g_params, cfg = _load_generator(args, cfg)
+        out = evaluate_directory(cfg, g_params, args.dataset_dir,
+                                 tile=args.tile, halo=args.halo,
+                                 tile_batch=args.tile_batch,
+                                 max_images=args.max_images)
+        if args.json:
+            print(json.dumps(out))
+        else:
+            for k, v in out.items():
+                print(f"{k}: {v:.4f}" if isinstance(v, float)
+                      else f"{k}: {v}")
+        return 0
+
+    if args.cmd == "upscale":
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from super_resolution_tpu.data import normalize, to_uint8_image
+        from super_resolution_tpu.parallel import tiled_upscale
+        from super_resolution_tpu.train.steps import make_infer_fn
+
+        g_params, cfg = _load_generator(args, cfg)
+        with Image.open(args.image) as im:
+            lr_u8 = np.asarray(im.convert("RGB"))
+        mean, std = cfg.data.normalize_mean, cfg.data.normalize_std
+        lrn = normalize(jnp.asarray(lr_u8, jnp.float32) / 255.0, mean, std)
+        infer = make_infer_fn(cfg)
+        srn = tiled_upscale(lambda x: infer(g_params, x), lrn,
+                            scale=cfg.generator.scale, tile=args.tile,
+                            halo=args.halo, tile_batch=args.tile_batch)
+        sr_u8 = np.asarray(to_uint8_image(srn, cfg.data))
+        Image.fromarray(sr_u8).save(args.out)
+        print(f"[cli] {lr_u8.shape[1]}x{lr_u8.shape[0]} → "
+              f"{sr_u8.shape[1]}x{sr_u8.shape[0]} saved to {args.out}")
+        return 0
+
+    if args.cmd == "interp":
+        from super_resolution_tpu.checkpoint import net_interp
+        from super_resolution_tpu.import_torch import (
+            import_generator,
+            load_pth,
+        )
+
+        from super_resolution_tpu.import_torch import (
+            export_generator,
+            save_pth,
+        )
+
+        va, ca = import_generator(load_pth(args.psnr_ckpt))
+        vb, cb = import_generator(load_pth(args.gan_ckpt))
+        if ca != cb:
+            raise SystemExit("interp: checkpoint architectures differ "
+                             f"({ca} vs {cb})")
+        blended = net_interp(va["params"], vb["params"], args.alpha)
+        save_pth(export_generator(blended, ca), args.out)
+        print(f"[cli] wrote interpolated .pth (alpha={args.alpha}) "
+              f"to {args.out}")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

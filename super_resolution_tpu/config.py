@@ -45,6 +45,10 @@ class GeneratorConfig:
     lrelu_slope: float = 0.2
     upsampler: str = "nearest_conv"   # "nearest_conv" | "pixelshuffle"
     init: str = "msra_scaled"         # "msra_scaled" (x0.1) | "torch_default"
+    # Conv implementation: "lax" (XLA TPU conv emitter — default, fastest
+    # measured; BENCHNOTES.md) | "pallas" (packed-taps kernel, flag-gated
+    # experiment per SURVEY.md §7 stage 6; inference-only)
+    conv_impl: str = "lax"
 
     @property
     def n_upsample(self) -> int:

@@ -183,6 +183,30 @@ def import_generator(
     return {"params": params}, inferred
 
 
+def export_generator(params: dict, cfg: GeneratorConfig,
+                     style: str = "basicsr") -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_generator`: flax params → torch state dict
+    (HWIO → OIHW), so checkpoints trained here remain loadable by the
+    reference family's tooling (and by our own importer)."""
+    key_map = _generator_key_map(style, cfg.n_blocks)
+    sd: Dict[str, np.ndarray] = {}
+    for tprefix, fpath in key_map.items():
+        node = params
+        for part in fpath.split("/"):
+            node = node[part]
+        sd[f"{tprefix}.weight"] = \
+            np.asarray(node["kernel"]).transpose(3, 2, 0, 1)
+        sd[f"{tprefix}.bias"] = np.asarray(node["bias"])
+    return sd
+
+
+def save_pth(state_dict: Dict[str, np.ndarray], path: str) -> None:
+    import torch
+
+    torch.save({k: torch.from_numpy(np.asarray(v).copy())
+                for k, v in state_dict.items()}, path)
+
+
 # --------------------------------------------------------------------------
 # Discriminator
 # --------------------------------------------------------------------------

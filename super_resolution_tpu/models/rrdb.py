@@ -44,14 +44,48 @@ def precision_for(dtype):
             if jnp.dtype(dtype) == jnp.float32 else None)
 
 
-def _conv3x3(x, features: int, *, name: str, scheme: str, dtype):
-    kshape = (3, 3, x.shape[-1], features)
-    kinit, binit = conv_inits(scheme, kshape)
-    return nn.Conv(
-        features, (3, 3), padding=((1, 1), (1, 1)),
-        kernel_init=kinit, bias_init=binit, precision=precision_for(dtype),
-        dtype=dtype, param_dtype=jnp.float32, name=name,
-    )(x)
+class Conv3x3(nn.Module):
+    """3×3 SAME conv with a switchable implementation: ``lax`` (XLA's TPU
+    conv emitter — the default and fastest measured path, BENCHNOTES.md)
+    or ``pallas`` (the packed-taps kernel in ops/pallas/packed_conv.py,
+    kept as a flag-gated experiment per SURVEY.md §7 stage 6).  The param
+    tree ({kernel: HWIO, bias}) is identical either way, so checkpoints
+    are implementation-agnostic."""
+
+    features: int
+    scheme: str
+    dtype: Any = jnp.float32
+    impl: str = "lax"
+
+    @nn.compact
+    def __call__(self, x):
+        kshape = (3, 3, x.shape[-1], self.features)
+        kinit, binit = conv_inits(self.scheme, kshape)
+        kernel = self.param("kernel", kinit, kshape, jnp.float32)
+        bias = self.param("bias", binit, (self.features,), jnp.float32)
+        if self.impl == "lax":
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=precision_for(self.dtype))
+            return y + bias.astype(y.dtype)
+        if self.impl == "pallas":
+            from super_resolution_tpu.ops.pallas.packed_conv import (
+                packed_conv3x3,
+            )
+
+            rows = next(r for r in (16, 8, 4, 2, 1)
+                        if x.shape[1] % r == 0)
+            return packed_conv3x3(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                bias, rows=rows, apply_act=False, out_dtype=self.dtype)
+        raise ValueError(f"unknown conv impl {self.impl!r}")
+
+
+def _conv3x3(x, features: int, *, name: str, scheme: str, dtype,
+             impl: str = "lax"):
+    return Conv3x3(features, scheme, dtype, impl, name=name)(x)
 
 
 class DenseBlock(nn.Module):
@@ -69,7 +103,8 @@ class DenseBlock(nn.Module):
             last = k == cfg.n_dense_convs - 1
             width = cfg.filters if last else cfg.growth
             out = _conv3x3(feats, width, name=f"conv{k + 1}",
-                           scheme=cfg.init, dtype=self.dtype)
+                           scheme=cfg.init, dtype=self.dtype,
+                           impl=cfg.conv_impl)
             if not last:
                 out = nn.leaky_relu(out, cfg.lrelu_slope)
                 feats = jnp.concatenate([feats, out], axis=-1)
@@ -101,31 +136,34 @@ class RRDBNet(nn.Module):
         cfg = self.cfg
         x = x.astype(self.dtype)
         fea = _conv3x3(x, cfg.filters, name="conv_first", scheme=cfg.init,
-                       dtype=self.dtype)
+                       dtype=self.dtype, impl=cfg.conv_impl)
         trunk = fea
         for b in range(cfg.n_blocks):
             trunk = RRDB(cfg, self.dtype, name=f"block{b}")(trunk)
         trunk = _conv3x3(trunk, cfg.filters, name="trunk_conv",
-                         scheme=cfg.init, dtype=self.dtype)
+                         scheme=cfg.init, dtype=self.dtype,
+                         impl=cfg.conv_impl)
         fea = fea + trunk
 
         for u in range(cfg.n_upsample):
             if cfg.upsampler == "nearest_conv":
                 fea = nearest_upsample(fea, 2)
                 fea = _conv3x3(fea, cfg.filters, name=f"upconv{u + 1}",
-                               scheme=cfg.init, dtype=self.dtype)
+                               scheme=cfg.init, dtype=self.dtype,
+                               impl=cfg.conv_impl)
                 fea = nn.leaky_relu(fea, cfg.lrelu_slope)
             elif cfg.upsampler == "pixelshuffle":
                 fea = _conv3x3(fea, cfg.filters * 4, name=f"upconv{u + 1}",
-                               scheme=cfg.init, dtype=self.dtype)
+                               scheme=cfg.init, dtype=self.dtype,
+                               impl=cfg.conv_impl)
                 fea = nn.leaky_relu(fea, cfg.lrelu_slope)
                 fea = pixel_shuffle(fea, 2)
             else:
                 raise ValueError(f"unknown upsampler {cfg.upsampler!r}")
 
         fea = _conv3x3(fea, cfg.filters, name="hr_conv", scheme=cfg.init,
-                       dtype=self.dtype)
+                       dtype=self.dtype, impl=cfg.conv_impl)
         fea = nn.leaky_relu(fea, cfg.lrelu_slope)
         out = _conv3x3(fea, cfg.channels, name="conv_last", scheme=cfg.init,
-                       dtype=self.dtype)
+                       dtype=self.dtype, impl=cfg.conv_impl)
         return out.astype(jnp.float32)

@@ -1,0 +1,71 @@
+"""Dataset evaluation: PSNR/SSIM tables over a validation directory
+(SURVEY.md §3.3, §5.5: report RGB and Y-channel both).
+
+Each HR image is bicubic-downsampled ÷scale (the same LR synthesis the
+reference evaluates with), super-resolved through the overlap-blend tiler
+(fixed tile shape → one compile for the whole directory, any frame size),
+and scored against the ground truth.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from super_resolution_tpu.config import TrainConfig
+from super_resolution_tpu.data import denormalize, list_images, normalize
+from super_resolution_tpu.metrics import eval_metrics
+from super_resolution_tpu.ops import bicubic_downsample
+from super_resolution_tpu.parallel import tiled_upscale
+from super_resolution_tpu.train.steps import make_infer_fn
+
+
+def _load_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
+
+
+def evaluate_directory(
+        cfg: TrainConfig, g_params, val_dir: str,
+        tile: int = 128, halo: int = 8, tile_batch: int = 4,
+        mesh=None, max_images: Optional[int] = None,
+        files: Optional[Iterable[str]] = None) -> Dict[str, float]:
+    """Evaluate G over every image in ``val_dir``; returns mean metrics."""
+    scale = cfg.data.scale
+    mean, std = cfg.data.normalize_mean, cfg.data.normalize_std
+    infer = make_infer_fn(cfg)
+    if mesh is not None:
+        from super_resolution_tpu.parallel import replicated
+
+        g_params = jax.device_put(g_params, replicated(mesh))
+    fn = lambda x: infer(g_params, x)   # noqa: E731
+
+    paths: List[str] = list(files) if files is not None \
+        else list_images(val_dir)
+    if max_images:
+        paths = paths[:max_images]
+
+    per_image = []
+    for path in paths:
+        hr01 = _load_image(path)
+        h, w = (hr01.shape[0] // scale) * scale, \
+               (hr01.shape[1] // scale) * scale
+        hr01 = hr01[:h, :w]
+        lr01 = bicubic_downsample(jnp.asarray(hr01), scale)
+        lrn = normalize(lr01, mean, std)
+        srn = tiled_upscale(fn, lrn, scale=scale, tile=tile, halo=halo,
+                            tile_batch=tile_batch, mesh=mesh)
+        sr01 = jnp.clip(denormalize(srn, mean, std), 0.0, 1.0)
+        m = eval_metrics(sr01, jnp.asarray(hr01))
+        per_image.append({k: float(v) for k, v in m.items()})
+
+    agg = {k: float(np.mean([m[k] for m in per_image]))
+           for k in per_image[0]} if per_image else {}
+    agg["n_images"] = len(per_image)
+    return agg

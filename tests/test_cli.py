@@ -1,0 +1,136 @@
+"""CLI surface tests (SURVEY.md §1 L8): the reference's train/eval/upscale
+commands plus interp, driven in-process over real files."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+from PIL import Image
+
+from super_resolution_tpu.cli import main
+from torch_spec import RRDBNetTorch
+
+SMALL_ARGS = ["--residual_blocks", "1", "--dtype", "float32"]
+
+
+@pytest.fixture
+def data_dir(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        yy, xx = np.mgrid[0:64, 0:64]
+        img = np.stack([(yy * 4) % 256, (xx * 4) % 256,
+                        rng.randint(0, 256, (64, 64))], -1).astype(np.uint8)
+        Image.fromarray(img).save(d / f"im{i}.png")
+    return str(d)
+
+
+@pytest.fixture
+def small_pth(tmp_path):
+    torch.manual_seed(0)
+    tm = RRDBNetTorch(nf=16, nb=1, gc=8)
+    p = str(tmp_path / "gen.pth")
+    torch.save(tm.state_dict(), p)
+    return p
+
+
+def test_train_cli_writes_checkpoint(data_dir, tmp_path):
+    ck = str(tmp_path / "ck")
+    rc = main(["train", "--dataset_dir", data_dir, "--steps", "2",
+               "--batch_size", "2", "--hr_height", "32",
+               "--warmup_batches", "10", "--no_perceptual",
+               "--checkpoint_interval", "2", "--checkpoint_dir", ck,
+               "--n_cpu", "1", *SMALL_ARGS])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(ck, "2"))
+
+
+def test_upscale_cli_pth(data_dir, small_pth, tmp_path, capsys):
+    out = str(tmp_path / "sr.png")
+    rc = main(["upscale", "--image", os.path.join(data_dir, "im0.png"),
+               "--checkpoint", small_pth, "--out", out,
+               "--tile", "48", "--halo", "8", *SMALL_ARGS])
+    assert rc == 0
+    with Image.open(out) as im:
+        assert im.size == (256, 256)
+    assert "256x256" in capsys.readouterr().out
+
+
+def test_eval_cli_pth_json(data_dir, small_pth, capsys):
+    rc = main(["eval", "--dataset_dir", data_dir, "--checkpoint",
+               small_pth, "--tile", "48", "--json", *SMALL_ARGS])
+    assert rc == 0
+    import json
+
+    out = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert out["n_images"] == 2
+    assert 0 < out["psnr_rgb"] < 60 and 0 <= out["ssim"] <= 1
+    assert "psnr_y" in out
+
+
+def test_eval_cli_orbax_checkpoint(data_dir, tmp_path, capsys):
+    ck = str(tmp_path / "ck")
+    main(["train", "--dataset_dir", data_dir, "--steps", "1",
+          "--batch_size", "2", "--hr_height", "32", "--warmup_batches",
+          "10", "--no_perceptual", "--checkpoint_interval", "1",
+          "--checkpoint_dir", ck, "--n_cpu", "1", *SMALL_ARGS])
+    rc = main(["eval", "--dataset_dir", data_dir, "--checkpoint", ck,
+               "--tile", "48", "--max_images", "1", "--json", *SMALL_ARGS])
+    assert rc == 0
+    import json
+
+    lines = capsys.readouterr().out.splitlines()
+    assert json.loads(lines[-1])["n_images"] == 1
+
+
+def test_interp_cli_roundtrip(tmp_path, small_pth):
+    torch.manual_seed(1)
+    other = str(tmp_path / "gen2.pth")
+    torch.save(RRDBNetTorch(nf=16, nb=1, gc=8).state_dict(), other)
+    out = str(tmp_path / "blend.pth")
+    rc = main(["interp", "--psnr_ckpt", small_pth, "--gan_ckpt", other,
+               "--alpha", "0.5", "--out", out, *SMALL_ARGS])
+    assert rc == 0
+
+    from super_resolution_tpu.import_torch import import_generator, load_pth
+
+    va, _ = import_generator(load_pth(small_pth))
+    vb, _ = import_generator(load_pth(other))
+    vm, _ = import_generator(load_pth(out))
+    k = lambda v: np.asarray(v["params"]["conv_first"]["kernel"])  # noqa
+    np.testing.assert_allclose(k(vm), 0.5 * (k(va) + k(vb)), atol=1e-6)
+
+
+def test_interp_cli_rejects_mismatched_arch(tmp_path, small_pth):
+    other = str(tmp_path / "big.pth")
+    torch.save(RRDBNetTorch(nf=16, nb=2, gc=8).state_dict(), other)
+    with pytest.raises(SystemExit, match="architectures differ"):
+        main(["interp", "--psnr_ckpt", small_pth, "--gan_ckpt", other,
+              "--alpha", "0.5", "--out", str(tmp_path / "x.pth"),
+              *SMALL_ARGS])
+
+
+def test_export_import_roundtrip():
+    """Generator exporter: flax → BasicSR .pth naming → importer → same
+    tree (framework ↔ reference checkpoint interchange)."""
+    import jax
+    import jax.numpy as jnp
+
+    from super_resolution_tpu.config import GeneratorConfig
+    from super_resolution_tpu.import_torch import (
+        export_generator,
+        import_generator,
+    )
+    from super_resolution_tpu.models import RRDBNet
+
+    cfg = GeneratorConfig(n_blocks=2, filters=16, growth=8)
+    v = RRDBNet(cfg).init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    sd = export_generator(v["params"], cfg)
+    assert "body.1.rdb3.conv5.weight" in sd
+    v2, cfg2 = import_generator(sd)
+    assert cfg2.n_blocks == 2 and cfg2.filters == 16
+    for a, b in zip(jax.tree.leaves(v["params"]),
+                    jax.tree.leaves(v2["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

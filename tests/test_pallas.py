@@ -1,0 +1,85 @@
+"""Pallas packed-taps conv kernel tests (interpret mode on CPU) and the
+flag-gated RRDBNet integration (SURVEY.md §7 stage 6: lax fallback always
+correct, pallas path verified against it)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from super_resolution_tpu.config import GeneratorConfig
+from super_resolution_tpu.models import RRDBNet
+from super_resolution_tpu.ops.pallas.packed_conv import (
+    pack_weights,
+    packed_conv3x3,
+)
+
+
+def _ref_conv(x, w, b, slope=0.2, act=True):
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + b
+    return jnp.where(y >= 0, y, slope * y) if act else y
+
+
+@pytest.mark.parametrize("shape,cout,rows", [
+    ((2, 32, 100, 64), 32, 16),     # unaligned width
+    ((1, 16, 128, 96), 32, 16),
+    ((1, 32, 64, 160), 32, 8),
+    ((2, 24, 48, 192), 64, 8),
+    ((1, 8, 128, 3), 16, 8),        # RGB stem widths
+])
+def test_packed_conv_matches_lax(shape, cout, rows):
+    kx, kw, kb = jax.random.split(jax.random.key(0), 3)
+    x = jax.random.normal(kx, shape, jnp.float32)
+    w = jax.random.normal(kw, (3, 3, shape[-1], cout), jnp.float32) * 0.05
+    b = jax.random.normal(kb, (cout,), jnp.float32)
+    ref = _ref_conv(x, w, b)
+    with pltpu.force_tpu_interpret_mode():
+        out = packed_conv3x3(x, w, b, rows=rows, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_packed_conv_no_activation():
+    kx = jax.random.key(1)
+    x = jax.random.normal(kx, (1, 16, 32, 32), jnp.float32)
+    w = jax.random.normal(jax.random.key(2), (3, 3, 32, 32),
+                          jnp.float32) * 0.1
+    b = jnp.zeros((32,))
+    ref = _ref_conv(x, w, b, act=False)
+    with pltpu.force_tpu_interpret_mode():
+        out = packed_conv3x3(x, w, b, rows=8, apply_act=False,
+                             out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_pack_weights_layout():
+    w = jnp.arange(3 * 3 * 2 * 4, dtype=jnp.float32).reshape(3, 3, 2, 4)
+    wp = pack_weights(w)
+    assert wp.shape == (2, 36)
+    # lane (dy*3+dx)*F + f must equal w[dy, dx, c, f]
+    for dy in range(3):
+        for dx in range(3):
+            for f in range(4):
+                np.testing.assert_array_equal(
+                    np.asarray(wp[:, (dy * 3 + dx) * 4 + f]),
+                    np.asarray(w[dy, dx, :, f]))
+
+
+def test_rrdbnet_pallas_impl_matches_lax():
+    """Same params, both conv implementations, same output — the param
+    tree is implementation-agnostic."""
+    cfg_lax = GeneratorConfig(n_blocks=1, filters=16, growth=8)
+    cfg_pal = GeneratorConfig(n_blocks=1, filters=16, growth=8,
+                              conv_impl="pallas")
+    x = jax.random.normal(jax.random.key(3), (1, 16, 16, 3))
+    v = RRDBNet(cfg_lax).init(jax.random.key(4), x)
+    ref = RRDBNet(cfg_lax).apply(v, x)
+    with pltpu.force_tpu_interpret_mode():
+        out = RRDBNet(cfg_pal).apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
