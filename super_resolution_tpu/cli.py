@@ -98,7 +98,9 @@ def _load_generator(args, cfg):
         g_params, step = restore_generator_params(path)
         print(f"[cli] restored orbax checkpoint at step {step}")
         return jax.device_get(g_params), cfg
-    raise FileNotFoundError(path)
+    raise SystemExit(
+        f"checkpoint not found: {path!r} (expected a torch .pth file or "
+        "an orbax checkpoint directory)")
 
 
 def _add_common(p: argparse.ArgumentParser):
@@ -148,6 +150,11 @@ def main(argv=None):
     t.add_argument("--log_dir", default=None)
     t.add_argument("--resume", action="store_true")
     t.add_argument("--data_parallel", type=int, default=1)
+    t.add_argument("--eval_dir", default=None,
+                   help="validation dir for periodic in-loop eval")
+    t.add_argument("--eval_interval", type=int, default=None)
+    t.add_argument("--profile_dir", default=None,
+                   help="jax.profiler trace output dir")
 
     # ---- eval ----
     e = sub.add_parser("eval", help="PSNR/SSIM over a validation dir")
@@ -161,11 +168,15 @@ def main(argv=None):
     e.add_argument("--json", action="store_true")
 
     # ---- upscale ----
-    u = sub.add_parser("upscale", help="×4 upscale one image (tiled)")
+    u = sub.add_parser("upscale",
+                       help="×4 upscale an image, or every image in a "
+                            "directory (tiled)")
     _add_common(u)
-    u.add_argument("--image", required=True)
+    u.add_argument("--image", required=True,
+                   help="input image, or a directory of images")
     u.add_argument("--checkpoint", required=True)
-    u.add_argument("--out", required=True)
+    u.add_argument("--out", required=True,
+                   help="output image, or a directory when --image is one")
     u.add_argument("--tile", type=int, default=128)
     u.add_argument("--halo", type=int, default=8)
     u.add_argument("--tile_batch", type=int, default=4)
@@ -182,10 +193,13 @@ def main(argv=None):
     cfg = _build_cfg(args)
 
     if args.cmd == "train":
+        from super_resolution_tpu.metrics import profiler_trace
         from super_resolution_tpu.train import train
 
-        train(cfg, total_steps=args.steps, resume=args.resume,
-              log_dir=args.log_dir, sample_dir=args.sample_dir)
+        with profiler_trace(args.profile_dir):
+            train(cfg, total_steps=args.steps, resume=args.resume,
+                  log_dir=args.log_dir, sample_dir=args.sample_dir,
+                  eval_dir=args.eval_dir, eval_interval=args.eval_interval)
         return 0
 
     if args.cmd == "eval":
@@ -208,23 +222,39 @@ def main(argv=None):
         import jax.numpy as jnp
         from PIL import Image
 
-        from super_resolution_tpu.data import normalize, to_uint8_image
+        from super_resolution_tpu.data import (
+            list_images,
+            normalize,
+            to_uint8_image,
+        )
         from super_resolution_tpu.parallel import tiled_upscale
         from super_resolution_tpu.train.steps import make_infer_fn
 
         g_params, cfg = _load_generator(args, cfg)
-        with Image.open(args.image) as im:
-            lr_u8 = np.asarray(im.convert("RGB"))
-        mean, std = cfg.data.normalize_mean, cfg.data.normalize_std
-        lrn = normalize(jnp.asarray(lr_u8, jnp.float32) / 255.0, mean, std)
         infer = make_infer_fn(cfg)
-        srn = tiled_upscale(lambda x: infer(g_params, x), lrn,
-                            scale=cfg.generator.scale, tile=args.tile,
-                            halo=args.halo, tile_batch=args.tile_batch)
-        sr_u8 = np.asarray(to_uint8_image(srn, cfg.data))
-        Image.fromarray(sr_u8).save(args.out)
-        print(f"[cli] {lr_u8.shape[1]}x{lr_u8.shape[0]} → "
-              f"{sr_u8.shape[1]}x{sr_u8.shape[0]} saved to {args.out}")
+        mean, std = cfg.data.normalize_mean, cfg.data.normalize_std
+
+        def upscale_one(src: str, dst: str):
+            with Image.open(src) as im:
+                lr_u8 = np.asarray(im.convert("RGB"))
+            lrn = normalize(jnp.asarray(lr_u8, jnp.float32) / 255.0,
+                            mean, std)
+            srn = tiled_upscale(lambda x: infer(g_params, x), lrn,
+                                scale=cfg.generator.scale, tile=args.tile,
+                                halo=args.halo, tile_batch=args.tile_batch)
+            sr_u8 = np.asarray(to_uint8_image(srn, cfg.data))
+            Image.fromarray(sr_u8).save(dst)
+            print(f"[cli] {lr_u8.shape[1]}x{lr_u8.shape[0]} → "
+                  f"{sr_u8.shape[1]}x{sr_u8.shape[0]} saved to {dst}")
+
+        if os.path.isdir(args.image):      # batch mode over a directory
+            os.makedirs(args.out, exist_ok=True)
+            for src in list_images(args.image):
+                stem, _ = os.path.splitext(os.path.basename(src))
+                upscale_one(src, os.path.join(args.out, f"{stem}_x"
+                                              f"{cfg.generator.scale}.png"))
+        else:
+            upscale_one(args.image, args.out)
         return 0
 
     if args.cmd == "interp":

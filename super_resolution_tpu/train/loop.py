@@ -67,7 +67,9 @@ def train(cfg: TrainConfig,
           total_steps: Optional[int] = None,
           resume: bool = False,
           log_dir: Optional[str] = None,
-          sample_dir: Optional[str] = None) -> GANTrainState:
+          sample_dir: Optional[str] = None,
+          eval_dir: Optional[str] = None,
+          eval_interval: Optional[int] = None) -> GANTrainState:
     """Run training; returns the final state.
 
     ``data_iter`` defaults to a :class:`PatchLoader` over
@@ -136,6 +138,22 @@ def train(cfg: TrainConfig,
             _save_sample_grid(cfg, infer_fn, state,
                               np.asarray(jax.device_get(last_host_batch)),
                               done, sample_dir)
+        if eval_dir and done % (eval_interval or cfg.checkpoint_interval) \
+                == 0:
+            from super_resolution_tpu.train.evaluate import (
+                evaluate_directory,
+            )
+
+            tile = max(cfg.data.lr_patch, 48)
+            ev = evaluate_directory(cfg, jax.device_get(state.g_params),
+                                    eval_dir, tile=tile,
+                                    halo=min(8, tile // 4), max_images=8)
+            print(f"[eval step {done}] " + " ".join(
+                f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in sorted(ev.items())), flush=True)
+            if log_dir:
+                logger.update({f"val_{k}": v for k, v in ev.items()
+                               if isinstance(v, float)})
         if done % cfg.checkpoint_interval == 0 or done == total_steps:
             data_state = loader.state_dict() if loader is not None else None
             save_checkpoint(cfg.checkpoint_dir, state, data_state)

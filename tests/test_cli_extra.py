@@ -1,0 +1,60 @@
+"""CLI additions: directory upscale mode, in-loop eval, friendly errors."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+from PIL import Image
+
+from super_resolution_tpu.cli import main
+from torch_spec import RRDBNetTorch
+
+SMALL_ARGS = ["--residual_blocks", "1", "--dtype", "float32"]
+
+
+@pytest.fixture
+def env(tmp_path):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 256, (40 + 8 * i, 48, 3),
+                                    dtype=np.uint8)).save(d / f"f{i}.png")
+    torch.manual_seed(0)
+    pth = str(tmp_path / "g.pth")
+    torch.save(RRDBNetTorch(nf=16, nb=1, gc=8).state_dict(), pth)
+    return str(d), pth, tmp_path
+
+
+def test_upscale_directory_mode(env, capsys):
+    d, pth, tmp = env
+    out_dir = str(tmp / "out")
+    rc = main(["upscale", "--image", d, "--checkpoint", pth,
+               "--out", out_dir, "--tile", "48", *SMALL_ARGS])
+    assert rc == 0
+    outs = sorted(os.listdir(out_dir))
+    assert outs == ["f0_x4.png", "f1_x4.png"]
+    with Image.open(os.path.join(out_dir, "f0_x4.png")) as im:
+        assert im.size == (192, 160)
+
+
+def test_upscale_missing_checkpoint_friendly_error(env):
+    d, _, tmp = env
+    with pytest.raises(SystemExit, match="checkpoint not found"):
+        main(["upscale", "--image", os.path.join(d, "f0.png"),
+              "--checkpoint", "nope.pth", "--out", str(tmp / "x.png"),
+              *SMALL_ARGS])
+
+
+def test_train_with_inloop_eval(env, capsys):
+    d, _, tmp = env
+    rc = main(["train", "--dataset_dir", d, "--steps", "2",
+               "--batch_size", "2", "--hr_height", "32",
+               "--warmup_batches", "10", "--no_perceptual",
+               "--checkpoint_interval", "100", "--checkpoint_dir",
+               str(tmp / "ck"), "--n_cpu", "1", "--eval_dir", d,
+               "--eval_interval", "2", *SMALL_ARGS])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "[eval step 2]" in out and "psnr_rgb=" in out

@@ -70,6 +70,46 @@ def test_pack_weights_layout():
                     np.asarray(w[dy, dx, :, f]))
 
 
+def _ref_dense_block(x, ws, bs, slope=0.2, res_scale=0.2):
+    feats = x
+    for k, (w, b) in enumerate(zip(ws, bs)):
+        y = jax.lax.conv_general_dilated(
+            feats, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        if k < len(ws) - 1:
+            y = jnp.where(y >= 0, y, slope * y)
+            feats = jnp.concatenate([feats, y], -1)
+    return x + res_scale * y
+
+
+@pytest.mark.parametrize("shape,rows", [
+    ((1, 16, 40, 32), 8),       # 3-input-block path (rows < 2*halo)
+    ((2, 32, 64, 32), 16),      # 2-input-block path
+    ((1, 24, 100, 32), 12),
+])
+def test_fused_dense_block_matches_lax(shape, rows):
+    from super_resolution_tpu.ops.pallas.dense_block import (
+        fused_dense_block,
+    )
+
+    nf, gc = shape[-1], 16
+    ws, bs = [], []
+    cin = nf
+    for k in range(5):
+        cout = nf if k == 4 else gc
+        ws.append(jax.random.normal(jax.random.key(10 + k),
+                                    (3, 3, cin, cout), jnp.float32) * 0.05)
+        bs.append(jax.random.normal(jax.random.key(20 + k), (cout,),
+                                    jnp.float32) * 0.1)
+        cin += gc
+    x = jax.random.normal(jax.random.key(0), shape, jnp.float32)
+    ref = _ref_dense_block(x, ws, bs)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_dense_block(x, ws, bs, rows=rows)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_rrdbnet_pallas_impl_matches_lax():
     """Same params, both conv implementations, same output — the param
     tree is implementation-agnostic."""
