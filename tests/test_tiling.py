@@ -83,6 +83,27 @@ def test_tiled_odd_sizes_and_single_tile():
                 np.asarray(out), np.asarray(whole(img)), atol=5e-5)
 
 
+def test_plan_tiles_2k_detector_frame():
+    """BASELINE.json config 4: 2K frames.  The production plan: 128-px
+    tiles with an 8-px halo → 112-px stride grid, all tiles one compiled
+    shape."""
+    n_rows, n_cols, pad_h, pad_w, stride = plan_tiles(2048, 2048, 128, 8)
+    assert stride == 112
+    assert n_rows == n_cols == 19        # ceil(2048/112)
+    assert (n_rows - 1) * stride + 128 >= 2048 + 8
+
+
+def test_tiled_large_frame_smoke():
+    """A 512×512 frame through the tiled path end-to-end (CPU-sized stand-
+    in for the 2K case — identical code path, more tiles than tile_batch
+    so chunking is exercised)."""
+    fn, _ = _small_gen()
+    img = jax.random.normal(jax.random.key(9), (512, 512, 3)) * 0.3
+    out = tiled_upscale(fn, img, scale=4, tile=96, halo=8, tile_batch=8)
+    assert out.shape == (2048, 2048, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
 def test_tiled_mesh_sharded_matches_single_device():
     """DP-of-tiles over the 8-device mesh == single-device tiling
     (SURVEY.md §2.3 SP row)."""
