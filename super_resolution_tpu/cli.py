@@ -59,7 +59,9 @@ def _build_cfg(args) -> "TrainConfig":
     )
     opt = OptimConfig(lr=getattr(args, "lr", cfg.optim_g.lr),
                       b1=getattr(args, "b1", cfg.optim_g.b1),
-                      b2=getattr(args, "b2", cfg.optim_g.b2))
+                      b2=getattr(args, "b2", cfg.optim_g.b2),
+                      lr_halve_steps=tuple(
+                          getattr(args, "lr_halve_steps", []) or ()))
     return dataclasses.replace(
         cfg, generator=gen, data=data, loss=loss, optim_g=opt, optim_d=opt,
         n_epochs=getattr(args, "n_epochs", cfg.n_epochs),
@@ -139,6 +141,8 @@ def main(argv=None):
     t.add_argument("--lr", type=float, default=2e-4)
     t.add_argument("--b1", type=float, default=0.9)
     t.add_argument("--b2", type=float, default=0.999)
+    t.add_argument("--lr_halve_steps", type=int, nargs="*", default=[],
+                   help="steps at which lr halves (xinntao MultiStepLR)")
     t.add_argument("--warmup_batches", type=int, default=500)
     t.add_argument("--lambda_adv", type=float, default=5e-3)
     t.add_argument("--lambda_pixel", type=float, default=1e-2)

@@ -110,12 +110,15 @@ class LossConfig:
 @dataclasses.dataclass(frozen=True)
 class OptimConfig:
     """Adam settings of the reference family (SURVEY.md §2.1 "GAN train
-    loop": lr 1e-4–2e-4, betas (0.9, 0.999))."""
+    loop": lr 1e-4–2e-4, betas (0.9, 0.999)).  ``lr_halve_steps`` is the
+    xinntao branch's MultiStepLR schedule (lr ×0.5 at the listed steps);
+    empty tuple = constant lr (the eriklindernoren branch)."""
 
     lr: float = 2e-4             # --lr
     b1: float = 0.9              # --b1
     b2: float = 0.999            # --b2
     eps: float = 1e-8
+    lr_halve_steps: Tuple[int, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)

@@ -127,7 +127,8 @@ def train(cfg: TrainConfig,
         step_fn = pretrain_step if in_warmup else gan_step
         state, metrics = step_fn(state, batch)
         logger.update(metrics)
-        meter.add(int(np.prod(batch.shape[:3])) * cfg.data.scale ** 2)
+        # batch holds HR patches, so B*H*W already counts output pixels
+        meter.add(int(np.prod(batch.shape[:3])))
 
         done = step_idx + 1
         if done % log_every == 0 or done == total_steps:

@@ -21,10 +21,19 @@ from super_resolution_tpu.models import (
 )
 
 
+def lr_schedule(cfg):
+    """Constant lr, or the xinntao MultiStepLR-style ×0.5 halving at
+    ``lr_halve_steps``."""
+    if cfg.lr_halve_steps:
+        return optax.piecewise_constant_schedule(
+            cfg.lr, {int(s): 0.5 for s in cfg.lr_halve_steps})
+    return cfg.lr
+
+
 def make_optimizer(cfg) -> optax.GradientTransformation:
     """Adam with the reference family's hyper-parameters (SURVEY.md §2.1
-    "GAN train loop")."""
-    return optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
+    "GAN train loop"), optionally under the halving schedule."""
+    return optax.adam(lr_schedule(cfg), b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
 
 
 @flax.struct.dataclass

@@ -164,6 +164,18 @@ def test_eval_batch_psnr_sane():
     assert 3.0 < val < 60.0        # untrained net on noise: low but finite
 
 
+def test_lr_halving_schedule():
+    from super_resolution_tpu.config import OptimConfig
+    from super_resolution_tpu.train.state import lr_schedule
+
+    sched = lr_schedule(OptimConfig(lr=2e-4, lr_halve_steps=(10, 20)))
+    assert float(sched(0)) == pytest.approx(2e-4)
+    assert float(sched(10)) == pytest.approx(1e-4)
+    assert float(sched(25)) == pytest.approx(5e-5)
+    # constant when no steps given
+    assert lr_schedule(OptimConfig(lr=3e-4)) == 3e-4
+
+
 def test_infer_fn_shape():
     cfg = tiny_cfg()
     state = init_state(cfg)
