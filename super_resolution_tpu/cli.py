@@ -37,43 +37,50 @@ def _build_cfg(args) -> "TrainConfig":
     )
 
     cfg = preset(args.preset) if args.preset else TrainConfig()
+
+    def ov(name, cur):
+        """CLI value if explicitly given, else the preset/default value —
+        preset-overridable flags default to None so argparse defaults
+        cannot silently clobber a --preset."""
+        v = getattr(args, name, None)
+        return cur if v is None else v
+
     gen = dataclasses.replace(
         cfg.generator,
-        n_blocks=args.residual_blocks,
-        channels=args.channels,
-        upsampler=args.upsampler,
+        n_blocks=ov("residual_blocks", cfg.generator.n_blocks),
+        channels=ov("channels", cfg.generator.channels),
+        upsampler=ov("upsampler", cfg.generator.upsampler),
     )
     data = dataclasses.replace(
         cfg.data,
-        dataset_dir=getattr(args, "dataset_dir", cfg.data.dataset_dir),
-        hr_patch=args.hr_height,
-        batch_size=getattr(args, "batch_size", cfg.data.batch_size),
-        n_workers=getattr(args, "n_cpu", cfg.data.n_workers),
+        dataset_dir=ov("dataset_dir", cfg.data.dataset_dir),
+        hr_patch=ov("hr_height", cfg.data.hr_patch),
+        batch_size=ov("batch_size", cfg.data.batch_size),
+        n_workers=ov("n_cpu", cfg.data.n_workers),
     )
     loss = dataclasses.replace(
         cfg.loss,
-        lambda_adv=getattr(args, "lambda_adv", cfg.loss.lambda_adv),
-        lambda_pixel=getattr(args, "lambda_pixel", cfg.loss.lambda_pixel),
-        use_perceptual=not getattr(args, "no_perceptual",
-                                   not cfg.loss.use_perceptual),
+        lambda_adv=ov("lambda_adv", cfg.loss.lambda_adv),
+        lambda_pixel=ov("lambda_pixel", cfg.loss.lambda_pixel),
+        use_perceptual=cfg.loss.use_perceptual
+        and not getattr(args, "no_perceptual", False),
     )
-    opt = OptimConfig(lr=getattr(args, "lr", cfg.optim_g.lr),
-                      b1=getattr(args, "b1", cfg.optim_g.b1),
-                      b2=getattr(args, "b2", cfg.optim_g.b2),
+    opt = OptimConfig(lr=ov("lr", cfg.optim_g.lr),
+                      b1=ov("b1", cfg.optim_g.b1),
+                      b2=ov("b2", cfg.optim_g.b2),
                       lr_halve_steps=tuple(
-                          getattr(args, "lr_halve_steps", []) or ()))
+                          getattr(args, "lr_halve_steps", None) or ()))
     return dataclasses.replace(
         cfg, generator=gen, data=data, loss=loss, optim_g=opt, optim_d=opt,
-        n_epochs=getattr(args, "n_epochs", cfg.n_epochs),
-        warmup_batches=getattr(args, "warmup_batches", cfg.warmup_batches),
-        sample_interval=getattr(args, "sample_interval",
-                                cfg.sample_interval),
-        checkpoint_interval=getattr(args, "checkpoint_interval",
-                                    cfg.checkpoint_interval),
-        checkpoint_dir=getattr(args, "checkpoint_dir", cfg.checkpoint_dir),
-        compute_dtype=args.dtype,
-        data_parallel=getattr(args, "data_parallel", cfg.data_parallel),
-        seed=args.seed,
+        n_epochs=ov("n_epochs", cfg.n_epochs),
+        warmup_batches=ov("warmup_batches", cfg.warmup_batches),
+        sample_interval=ov("sample_interval", cfg.sample_interval),
+        checkpoint_interval=ov("checkpoint_interval",
+                               cfg.checkpoint_interval),
+        checkpoint_dir=ov("checkpoint_dir", cfg.checkpoint_dir),
+        compute_dtype=ov("dtype", cfg.compute_dtype),
+        data_parallel=ov("data_parallel", cfg.data_parallel),
+        seed=ov("seed", cfg.seed),
         vgg=dataclasses.replace(cfg.vgg, weights_path=args.vgg_weights)
         if getattr(args, "vgg_weights", None) else cfg.vgg,
     )
@@ -109,18 +116,18 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--preset", choices=("infer_single", "pretrain_psnr",
                                         "train_gan", "infer_tiled",
                                         "train_gan_dp8"), default=None)
-    p.add_argument("--residual_blocks", type=int, default=23,
-                   help="number of RRDB blocks (reference flag)")
-    p.add_argument("--channels", type=int, default=3)
-    p.add_argument("--hr_height", type=int, default=192)
+    p.add_argument("--residual_blocks", type=int, default=None,
+                   help="number of RRDB blocks (default 23)")
+    p.add_argument("--channels", type=int, default=None)
+    p.add_argument("--hr_height", type=int, default=None)
     p.add_argument("--hr_width", type=int, default=192,
                    help="accepted for reference-CLI compatibility; patches "
                         "are square (hr_height is used)")
     p.add_argument("--upsampler", choices=("nearest_conv", "pixelshuffle"),
-                   default="nearest_conv")
-    p.add_argument("--dtype", default="bfloat16",
+                   default=None)
+    p.add_argument("--dtype", default=None,
                    choices=("bfloat16", "float32"))
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed", type=int, default=None)
     p.add_argument("--vgg_weights", default=None,
                    help="npz from tools/convert_vgg.py")
 
@@ -133,32 +140,36 @@ def main(argv=None):
     t = sub.add_parser("train", help="GAN / PSNR-pretrain training")
     _add_common(t)
     t.add_argument("--dataset_dir", required=True)
-    t.add_argument("--n_epochs", type=int, default=200)
+    t.add_argument("--n_epochs", type=int, default=None)
     t.add_argument("--steps", type=int, default=None,
                    help="total steps override (default epochs*1000)")
-    t.add_argument("--batch_size", type=int, default=16)
-    t.add_argument("--n_cpu", type=int, default=4)
-    t.add_argument("--lr", type=float, default=2e-4)
-    t.add_argument("--b1", type=float, default=0.9)
-    t.add_argument("--b2", type=float, default=0.999)
-    t.add_argument("--lr_halve_steps", type=int, nargs="*", default=[],
+    t.add_argument("--batch_size", type=int, default=None)
+    t.add_argument("--n_cpu", type=int, default=None)
+    t.add_argument("--lr", type=float, default=None)
+    t.add_argument("--b1", type=float, default=None)
+    t.add_argument("--b2", type=float, default=None)
+    t.add_argument("--lr_halve_steps", type=int, nargs="*", default=None,
                    help="steps at which lr halves (xinntao MultiStepLR)")
-    t.add_argument("--warmup_batches", type=int, default=500)
-    t.add_argument("--lambda_adv", type=float, default=5e-3)
-    t.add_argument("--lambda_pixel", type=float, default=1e-2)
+    t.add_argument("--warmup_batches", type=int, default=None)
+    t.add_argument("--lambda_adv", type=float, default=None)
+    t.add_argument("--lambda_pixel", type=float, default=None)
     t.add_argument("--no_perceptual", action="store_true")
-    t.add_argument("--sample_interval", type=int, default=100)
-    t.add_argument("--checkpoint_interval", type=int, default=1000)
-    t.add_argument("--checkpoint_dir", default="checkpoints")
+    t.add_argument("--sample_interval", type=int, default=None)
+    t.add_argument("--checkpoint_interval", type=int, default=None)
+    t.add_argument("--checkpoint_dir", default=None)
     t.add_argument("--sample_dir", default=None)
     t.add_argument("--log_dir", default=None)
     t.add_argument("--resume", action="store_true")
-    t.add_argument("--data_parallel", type=int, default=1)
+    t.add_argument("--data_parallel", type=int, default=None)
     t.add_argument("--eval_dir", default=None,
                    help="validation dir for periodic in-loop eval")
     t.add_argument("--eval_interval", type=int, default=None)
     t.add_argument("--profile_dir", default=None,
                    help="jax.profiler trace output dir")
+    t.add_argument("--loader", choices=("threads", "grain"),
+                   default="threads",
+                   help="input pipeline backend (grain = multiprocess "
+                        "prefetch + native checkpointable iterators)")
 
     # ---- eval ----
     e = sub.add_parser("eval", help="PSNR/SSIM over a validation dir")
@@ -200,8 +211,16 @@ def main(argv=None):
         from super_resolution_tpu.metrics import profiler_trace
         from super_resolution_tpu.train import train
 
+        data_loader = None
+        if getattr(args, "loader", "threads") == "grain":
+            from super_resolution_tpu.data.grain_source import (
+                GrainPatchLoader,
+            )
+
+            data_loader = GrainPatchLoader(cfg.data, seed=cfg.seed)
         with profiler_trace(args.profile_dir):
-            train(cfg, total_steps=args.steps, resume=args.resume,
+            train(cfg, data_loader=data_loader, total_steps=args.steps,
+                  resume=args.resume,
                   log_dir=args.log_dir, sample_dir=args.sample_dir,
                   eval_dir=args.eval_dir, eval_interval=args.eval_interval)
         return 0
@@ -263,13 +282,11 @@ def main(argv=None):
 
     if args.cmd == "interp":
         from super_resolution_tpu.checkpoint import net_interp
-        from super_resolution_tpu.import_torch import (
-            import_generator,
-            load_pth,
-        )
 
         from super_resolution_tpu.import_torch import (
             export_generator,
+            import_generator,
+            load_pth,
             save_pth,
         )
 

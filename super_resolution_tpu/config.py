@@ -46,8 +46,9 @@ class GeneratorConfig:
     upsampler: str = "nearest_conv"   # "nearest_conv" | "pixelshuffle"
     init: str = "msra_scaled"         # "msra_scaled" (x0.1) | "torch_default"
     # Conv implementation: "lax" (XLA TPU conv emitter — default, fastest
-    # measured; BENCHNOTES.md) | "pallas" (packed-taps kernel, flag-gated
-    # experiment per SURVEY.md §7 stage 6; inference-only)
+    # measured; BENCHNOTES.md) | "pallas" (per-conv packed-taps kernel) |
+    # "pallas_fused" (whole-dense-block fused kernel) — both flag-gated
+    # experiments per SURVEY.md §7 stage 6; inference-only
     conv_impl: str = "lax"
 
     @property
@@ -100,11 +101,11 @@ class LossConfig:
     lambda_adv: float = 5e-3     # --lambda_adv
     lambda_pixel: float = 1e-2   # --lambda_pixel
     use_perceptual: bool = True
-    # Relativistic-average mean semantics under data parallelism: when True
-    # the E[D(.)] means in RaGAN are psum'd across the mesh so sharded
-    # training matches large-batch single-device semantics (SURVEY.md §7
-    # "GAN step as one jit").
-    global_ragan_mean: bool = True
+    # NOTE on data parallelism: the RaGAN E[D(.)] batch means are always
+    # mesh-global here — the train step runs under jit with batch-sharded
+    # inputs, so plain jnp.mean is global-batch by construction
+    # (SURVEY.md §7 "GAN step as one jit"; losses.py's axis_name argument
+    # exists for shard_map-style callers).
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,77 @@
+"""Optional grain-backed input pipeline (SURVEY.md §2.4, §5.8).
+
+The default :class:`~super_resolution_tpu.data.pipeline.PatchLoader` is a
+dependency-light threaded loader with explicit resume state.  This module
+provides the grain equivalent for users who want grain's multiprocess
+prefetch, per-host sharding (``ShardByJaxProcess``) and checkpointable
+iterators — the same ``__iter__``/``state_dict``/``load_state_dict``
+surface, so ``train()`` accepts either interchangeably.
+
+Uses ``grain.MapDataset``: source = image paths, per-record seeded random
+crop (grain supplies the per-record RNG), infinite repeat + shuffle,
+batching; iterator state round-trips through grain's native
+``get_state``/``set_state``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from super_resolution_tpu.config import DataConfig
+from super_resolution_tpu.data.pipeline import _decode_crop, list_images
+
+
+class GrainPatchLoader:
+    """grain.MapDataset-based uint8 HR patch batches (B, P, P, 3)."""
+
+    def __init__(self, cfg: DataConfig, files: Optional[Sequence[str]] = None,
+                 seed: int = 0):
+        import grain
+
+        self.cfg = cfg
+        self.files = list(files) if files is not None \
+            else list_images(cfg.dataset_dir)
+        self.seed = seed
+
+        patch = cfg.hr_patch
+
+        def decode(path_and_seed):
+            path, record_seed = path_and_seed
+            rng = np.random.default_rng(record_seed)
+            return _decode_crop(path, patch, rng)
+
+        ds = (grain.MapDataset.source(list(self.files))
+              .shuffle(seed=seed)
+              .repeat()
+              .map_with_index(lambda i, p: (p, (seed, i)))
+              .map(decode)
+              .batch(cfg.batch_size))
+        if cfg.n_workers > 0:
+            it = ds.to_iter_dataset()
+            it = it.mp_prefetch(
+                grain.multiprocessing.MultiprocessingOptions(
+                    num_workers=cfg.n_workers))
+            self._ds = it
+        else:
+            self._ds = ds.to_iter_dataset()
+        self._iter = None
+
+    def _ensure_iter(self):
+        if self._iter is None:
+            self._iter = iter(self._ds)
+        return self._iter
+
+    def __iter__(self):
+        it = self._ensure_iter()
+        while True:
+            yield np.asarray(next(it))
+
+    # -- resume support: grain's native iterator state
+    def state_dict(self) -> dict:
+        return {"grain_state": self._ensure_iter().get_state(),
+                "seed": self.seed}
+
+    def load_state_dict(self, state: dict) -> None:
+        self._ensure_iter().set_state(state["grain_state"])

@@ -85,11 +85,14 @@ class MetricLogger:
         for k, v in metrics.items():
             self._acc.setdefault(k, []).append(v)
 
-    def flush(self, step: int, prefix: str = "train") -> Dict[str, float]:
+    def flush(self, step: int, prefix: str = "train",
+              extra: Optional[Dict[str, float]] = None) -> Dict[str, float]:
         out = {k: float(np.mean([np.asarray(jax.device_get(v))
                                  for v in vs]))
                for k, vs in self._acc.items()}
         self._acc.clear()
+        if extra:
+            out.update(extra)
         line = " ".join(f"{k}={v:.4g}" for k, v in sorted(out.items()))
         print(f"[{prefix} step {step}] {line}", flush=True)
         if self._file:
@@ -97,6 +100,19 @@ class MetricLogger:
                                          **out}) + "\n")
             self._file.flush()
         return out
+
+    def log_once(self, step: int, prefix: str,
+                 metrics: Dict[str, float]) -> None:
+        """Write a one-off metrics line (e.g. an eval result) immediately,
+        without touching the windowed accumulator."""
+        vals = {k: float(v) for k, v in metrics.items()
+                if isinstance(v, (int, float))}
+        line = " ".join(f"{k}={v:.4g}" for k, v in sorted(vals.items()))
+        print(f"[{prefix} step {step}] {line}", flush=True)
+        if self._file:
+            self._file.write(json.dumps({"step": step, "prefix": prefix,
+                                         **vals}) + "\n")
+            self._file.flush()
 
     def close(self):
         if self._file:

@@ -19,8 +19,11 @@ and each RRDB wraps 3 dense blocks with the same outer residual scaling.
 TPU notes: NHWC layout feeds XLA's TPU convolution emitter directly;
 ``dtype`` selects the conv compute dtype (bf16 on the MXU) while params
 stay fp32; concats are channel-last so XLA fuses the LeakyReLUs and
-residual adds into the conv epilogues.  The Pallas fused dense-block
-kernel (ops/pallas) is an optional drop-in for the inner loop.
+residual adds into the conv epilogues.  ``cfg.conv_impl`` switches the
+conv implementation: the Pallas per-conv packed-taps kernel ("pallas")
+or the fused dense-block kernel ("pallas_fused") — both flag-gated
+experiments with identical param trees (BENCHNOTES.md has the verdict:
+XLA's emitter currently wins, so "lax" is the default).
 """
 
 from __future__ import annotations
@@ -85,11 +88,35 @@ class Conv3x3(nn.Module):
 
 def _conv3x3(x, features: int, *, name: str, scheme: str, dtype,
              impl: str = "lax"):
+    if impl == "pallas_fused":
+        impl = "lax"   # fusion applies to dense blocks; stem/trunk stay lax
     return Conv3x3(features, scheme, dtype, impl, name=name)(x)
 
 
+class _ConvParams(nn.Module):
+    """Declares a Conv3x3-compatible {kernel, bias} pair without running a
+    conv — lets the fused dense-block kernel consume the exact same param
+    tree the per-conv path creates."""
+
+    kshape: tuple
+    scheme: str
+
+    @nn.compact
+    def __call__(self):
+        kinit, binit = conv_inits(self.scheme, self.kshape)
+        kernel = self.param("kernel", kinit, self.kshape, jnp.float32)
+        bias = self.param("bias", binit, (self.kshape[-1],), jnp.float32)
+        return kernel, bias
+
+
 class DenseBlock(nn.Module):
-    """5-conv dense block with residual scaling (ESRGAN paper §3.1)."""
+    """5-conv dense block with residual scaling (ESRGAN paper §3.1).
+
+    ``cfg.conv_impl='pallas_fused'`` routes the whole block through the
+    fused Pallas kernel (ops/pallas/dense_block.py — one program, all
+    intermediates VMEM-resident) with an identical param tree; requires
+    the input height to be a multiple of 8, else falls back to the
+    per-conv path."""
 
     cfg: GeneratorConfig
     dtype: Any = jnp.float32
@@ -97,6 +124,28 @@ class DenseBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
+        if cfg.conv_impl == "pallas_fused" and x.shape[1] % 8 == 0:
+            from super_resolution_tpu.ops.pallas.dense_block import (
+                fused_dense_block,
+            )
+
+            ws, bs = [], []
+            cin = x.shape[-1]
+            for k in range(cfg.n_dense_convs):
+                last = k == cfg.n_dense_convs - 1
+                width = cfg.filters if last else cfg.growth
+                kern, bias = _ConvParams((3, 3, cin, width), cfg.init,
+                                         name=f"conv{k + 1}")()
+                ws.append(kern.astype(self.dtype))
+                bs.append(bias)
+                if not last:
+                    cin += width
+            rows = 16 if x.shape[1] % 16 == 0 else 8
+            return fused_dense_block(
+                x.astype(self.dtype), ws, bs, rows=rows,
+                res_scale=cfg.res_scale, slope=cfg.lrelu_slope)
+
+        impl = "lax" if cfg.conv_impl == "pallas_fused" else cfg.conv_impl
         feats = x
         out = x
         for k in range(cfg.n_dense_convs):
@@ -104,7 +153,7 @@ class DenseBlock(nn.Module):
             width = cfg.filters if last else cfg.growth
             out = _conv3x3(feats, width, name=f"conv{k + 1}",
                            scheme=cfg.init, dtype=self.dtype,
-                           impl=cfg.conv_impl)
+                           impl=impl)
             if not last:
                 out = nn.leaky_relu(out, cfg.lrelu_slope)
                 feats = jnp.concatenate([feats, out], axis=-1)

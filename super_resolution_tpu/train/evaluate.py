@@ -35,11 +35,16 @@ def evaluate_directory(
         cfg: TrainConfig, g_params, val_dir: str,
         tile: int = 128, halo: int = 8, tile_batch: int = 4,
         mesh=None, max_images: Optional[int] = None,
-        files: Optional[Iterable[str]] = None) -> Dict[str, float]:
-    """Evaluate G over every image in ``val_dir``; returns mean metrics."""
+        files: Optional[Iterable[str]] = None,
+        infer_fn=None) -> Dict[str, float]:
+    """Evaluate G over every image in ``val_dir``; returns mean metrics.
+
+    Pass the already-jitted ``infer_fn`` when calling repeatedly (the
+    in-loop eval does) — building a fresh jit closure per call would
+    recompile the generator every time."""
     scale = cfg.data.scale
     mean, std = cfg.data.normalize_mean, cfg.data.normalize_std
-    infer = make_infer_fn(cfg)
+    infer = infer_fn if infer_fn is not None else make_infer_fn(cfg)
     if mesh is not None:
         from super_resolution_tpu.parallel import replicated
 

@@ -64,6 +64,7 @@ def _save_sample_grid(cfg: TrainConfig, infer_fn, state: GANTrainState,
 
 def train(cfg: TrainConfig,
           data_iter: Optional[Iterator[np.ndarray]] = None,
+          data_loader=None,
           total_steps: Optional[int] = None,
           resume: bool = False,
           log_dir: Optional[str] = None,
@@ -72,14 +73,19 @@ def train(cfg: TrainConfig,
           eval_interval: Optional[int] = None) -> GANTrainState:
     """Run training; returns the final state.
 
-    ``data_iter`` defaults to a :class:`PatchLoader` over
-    ``cfg.data.dataset_dir`` (or synthetic patches if the dir is absent —
-    keeps smoke tests and benches dataset-free)."""
+    Data comes from (in priority order) ``data_iter`` (a plain batch
+    iterator, no resume state), ``data_loader`` (any stateful loader with
+    ``__iter__``/``state_dict``/``load_state_dict`` — e.g.
+    :class:`PatchLoader` or
+    :class:`~super_resolution_tpu.data.grain_source.GrainPatchLoader`), or
+    a default :class:`PatchLoader` over ``cfg.data.dataset_dir``
+    (synthetic patches if the dir is absent — keeps smoke tests and
+    benches dataset-free)."""
     total_steps = total_steps if total_steps is not None \
         else cfg.n_epochs * cfg.steps_per_epoch
 
-    loader = None
-    if data_iter is None:
+    loader = data_loader
+    if data_iter is None and loader is None:
         if os.path.isdir(cfg.data.dataset_dir):
             loader = PatchLoader(cfg.data, seed=cfg.seed)
         else:
@@ -104,8 +110,24 @@ def train(cfg: TrainConfig,
         mesh = make_mesh(cfg.data_parallel)
         state = shard_state(state, mesh)
 
+    # Track the loader state that corresponds to each batch as it is
+    # *pulled*, so the checkpoint can store the state matching the batch
+    # the loop actually *consumed* — the prefetcher runs ahead by
+    # cfg.data.prefetch, and checkpointing the live loader state would
+    # make resume skip those batches (breaking step-exact determinism).
+    pulled_states: dict = {}
+    n_pulled = [0]
+
+    def _tracked(src):
+        for b in src:
+            n_pulled[0] += 1
+            if loader is not None:
+                pulled_states[n_pulled[0]] = loader.state_dict()
+            yield b
+
     if data_iter is None:
         data_iter = iter(loader)
+    data_iter = _tracked(data_iter)
     if mesh is not None:
         data_iter = shard_batch_iter(data_iter, mesh)
     else:
@@ -119,9 +141,12 @@ def train(cfg: TrainConfig,
     meter = Throughput(n_chips=max(1, cfg.data_parallel))
     log_every = 50
     last_host_batch = None
+    n_consumed = 0
 
     for step_idx in range(start_step, total_steps):
         batch = next(data_iter)
+        n_consumed += 1
+        pulled_states.pop(n_consumed - 1, None)   # keep only current+ahead
         last_host_batch = batch
         in_warmup = gan_step is None or step_idx < cfg.warmup_batches
         step_fn = pretrain_step if in_warmup else gan_step
@@ -132,8 +157,9 @@ def train(cfg: TrainConfig,
 
         done = step_idx + 1
         if done % log_every == 0 or done == total_steps:
-            out = logger.flush(done, "warmup" if in_warmup else "gan")
-            out["mp_per_sec_per_chip"] = meter.mp_per_sec_per_chip()
+            logger.flush(done, "warmup" if in_warmup else "gan",
+                         extra={"mp_per_sec_per_chip":
+                                meter.mp_per_sec_per_chip()})
             meter.reset()
         if sample_dir and done % cfg.sample_interval == 0:
             _save_sample_grid(cfg, infer_fn, state,
@@ -148,15 +174,13 @@ def train(cfg: TrainConfig,
             tile = max(cfg.data.lr_patch, 48)
             ev = evaluate_directory(cfg, jax.device_get(state.g_params),
                                     eval_dir, tile=tile,
-                                    halo=min(8, tile // 4), max_images=8)
-            print(f"[eval step {done}] " + " ".join(
-                f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
-                for k, v in sorted(ev.items())), flush=True)
-            if log_dir:
-                logger.update({f"val_{k}": v for k, v in ev.items()
-                               if isinstance(v, float)})
+                                    halo=min(8, tile // 4), max_images=8,
+                                    infer_fn=infer_fn)
+            logger.log_once(done, "eval",
+                            {f"val_{k}": v for k, v in ev.items()})
         if done % cfg.checkpoint_interval == 0 or done == total_steps:
-            data_state = loader.state_dict() if loader is not None else None
+            data_state = pulled_states.get(n_consumed) if loader is not None \
+                else None
             save_checkpoint(cfg.checkpoint_dir, state, data_state)
 
     logger.close()

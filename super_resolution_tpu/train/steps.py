@@ -59,6 +59,17 @@ def _prep(state: GANTrainState, hr_uint8: jnp.ndarray, cfg: TrainConfig):
     return rng, batch["lr"], batch["hr"]
 
 
+def _psnr01(cfg: TrainConfig, sr: jnp.ndarray, hr: jnp.ndarray):
+    """PSNR in [0,1] image space (denormalized + clipped) so train-log
+    PSNR is directly comparable to eval PSNR and reference numbers —
+    PSNR on ImageNet-normalized tensors would read ~13 dB low."""
+    from super_resolution_tpu.data.augment import denormalize
+
+    mean, std = cfg.data.normalize_mean, cfg.data.normalize_std
+    sr01 = jnp.clip(denormalize(sr, mean, std), 0.0, 1.0)
+    return psnr(sr01, denormalize(hr, mean, std))
+
+
 def make_pretrain_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
     """PSNR-only L1 pretraining of G (SURVEY.md §3.1 warmup branch;
     BASELINE.json config 2)."""
@@ -76,7 +87,7 @@ def make_pretrain_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
             state.g_params)
         updates, g_opt = opt_g.update(grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, updates)
-        metrics = {"loss_pixel": pix, "psnr": psnr(sr, hr),
+        metrics = {"loss_pixel": pix, "psnr": _psnr01(cfg, sr, hr),
                    "grad_norm_g": optax.global_norm(grads)}
         return state.replace(step=state.step + 1, rng=rng,
                              g_params=g_params, g_opt=g_opt), metrics
@@ -149,7 +160,7 @@ def make_gan_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
         metrics = dict(g_parts)
         metrics.update({
             "loss_d": d_loss,
-            "psnr": psnr(sr_detached, hr),
+            "psnr": _psnr01(cfg, sr_detached, hr),
             "grad_norm_g": optax.global_norm(g_grads),
             "grad_norm_d": optax.global_norm(d_grads),
         })

@@ -27,6 +27,28 @@ def env(tmp_path):
     return str(d), pth, tmp_path
 
 
+def test_preset_not_clobbered_by_argparse_defaults(monkeypatch):
+    """--preset values must survive unless a flag is explicitly given
+    (regression: argparse defaults used to overwrite every preset field)."""
+    import super_resolution_tpu.cli as cli
+    import super_resolution_tpu.train as train_mod
+
+    captured = {}
+    monkeypatch.setattr(train_mod, "train",
+                        lambda cfg, **kw: captured.update(cfg=cfg))
+
+    argv = ["train", "--preset", "pretrain_psnr", "--dataset_dir", "d"]
+    cli.main(argv)
+    cfg = captured["cfg"]
+    assert cfg.loss.lambda_adv == 0.0            # preset value preserved
+    assert cfg.loss.use_perceptual is False
+    assert cfg.warmup_batches == 10 ** 9
+    assert cfg.generator.n_blocks == 23          # default still correct
+
+    cli.main(argv + ["--warmup_batches", "7"])   # explicit flag wins
+    assert captured["cfg"].warmup_batches == 7
+
+
 def test_upscale_directory_mode(env, capsys):
     d, pth, tmp = env
     out_dir = str(tmp / "out")

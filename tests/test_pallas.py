@@ -110,12 +110,13 @@ def test_fused_dense_block_matches_lax(shape, rows):
                                atol=2e-5, rtol=1e-4)
 
 
-def test_rrdbnet_pallas_impl_matches_lax():
-    """Same params, both conv implementations, same output — the param
+@pytest.mark.parametrize("impl", ["pallas", "pallas_fused"])
+def test_rrdbnet_pallas_impl_matches_lax(impl):
+    """Same params, all conv implementations, same output — the param
     tree is implementation-agnostic."""
     cfg_lax = GeneratorConfig(n_blocks=1, filters=16, growth=8)
     cfg_pal = GeneratorConfig(n_blocks=1, filters=16, growth=8,
-                              conv_impl="pallas")
+                              conv_impl=impl)
     x = jax.random.normal(jax.random.key(3), (1, 16, 16, 3))
     v = RRDBNet(cfg_lax).init(jax.random.key(4), x)
     ref = RRDBNet(cfg_lax).apply(v, x)

@@ -164,6 +164,26 @@ def test_eval_batch_psnr_sane():
     assert 3.0 < val < 60.0        # untrained net on noise: low but finite
 
 
+def test_train_loop_resume_replays_exact_batches(tmp_path):
+    """Loop-level resume must consume the same data sequence as an
+    uninterrupted run — the checkpointed iterator state reflects batches
+    consumed, not batches prefetched ahead."""
+    def cfg_for(ck):
+        return tiny_cfg(checkpoint_dir=str(ck), checkpoint_interval=3,
+                        warmup_batches=10 ** 9)
+
+    cfg = cfg_for(tmp_path / "a")
+    train(cfg, total_steps=3)                   # saves at step 3
+    resumed = train(cfg, total_steps=5, resume=True)
+
+    cfg_b = cfg_for(tmp_path / "b")
+    straight = train(cfg_b, total_steps=5)
+
+    for x, y in zip(jax.tree.leaves(resumed.g_params),
+                    jax.tree.leaves(straight.g_params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_lr_halving_schedule():
     from super_resolution_tpu.config import OptimConfig
     from super_resolution_tpu.train.state import lr_schedule
