@@ -16,6 +16,8 @@ from typing import Iterator, Optional
 
 import numpy as np
 
+import jax.numpy as jnp
+
 import jax
 
 from super_resolution_tpu.checkpoint import (
@@ -45,11 +47,13 @@ from super_resolution_tpu.train.steps import (
 
 def _save_sample_grid(cfg: TrainConfig, infer_fn, state: GANTrainState,
                       hr_uint8: np.ndarray, step: int, out_dir: str):
-    """Periodic LR|SR sample dump (the reference's ``save_image`` grid,
-    SURVEY.md §3.1 [L5/obs])."""
+    """Periodic sample dump (the reference's ``save_image`` grid,
+    SURVEY.md §3.1 [L5/obs]): rows = bicubic-×4 baseline | SR | HR, one
+    column per sample."""
     from PIL import Image
 
     from super_resolution_tpu.data.augment import preprocess_batch
+    from super_resolution_tpu.ops import bicubic_resize
 
     os.makedirs(out_dir, exist_ok=True)
     batch = preprocess_batch(jax.random.key(0), hr_uint8[:4], cfg.data,
@@ -57,9 +61,16 @@ def _save_sample_grid(cfg: TrainConfig, infer_fn, state: GANTrainState,
     sr = infer_fn(state.g_params, batch["lr"])
     sr_u8 = np.asarray(jax.device_get(to_uint8_image(sr, cfg.data)))
     hr_u8 = np.asarray(jax.device_get(hr_uint8[:4]))
-    row = np.concatenate([np.concatenate(list(sr_u8), axis=1),
-                          np.concatenate(list(hr_u8), axis=1)], axis=0)
-    Image.fromarray(row).save(os.path.join(out_dir, f"step{step:08d}.png"))
+    h = hr_u8.shape[1]
+    lr01 = (hr_u8.astype(np.float32) / 255.0)
+    bic = bicubic_resize(bicubic_resize(jnp.asarray(lr01), h // cfg.data.scale,
+                                        h // cfg.data.scale), h, h)
+    bic_u8 = np.asarray(jnp.clip(jnp.round(bic * 255), 0, 255)
+                        ).astype(np.uint8)
+    rows = [np.concatenate(list(imgs), axis=1)
+            for imgs in (bic_u8, sr_u8, hr_u8)]
+    Image.fromarray(np.concatenate(rows, axis=0)).save(
+        os.path.join(out_dir, f"step{step:08d}.png"))
 
 
 def train(cfg: TrainConfig,
