@@ -180,6 +180,8 @@ def main(argv=None):
     e.add_argument("--halo", type=int, default=8)
     e.add_argument("--tile_batch", type=int, default=4)
     e.add_argument("--max_images", type=int, default=None)
+    e.add_argument("--self_ensemble", action="store_true",
+                   help="x8 flip/rotation test-time augmentation")
     e.add_argument("--json", action="store_true")
 
     # ---- upscale ----
@@ -195,6 +197,8 @@ def main(argv=None):
     u.add_argument("--tile", type=int, default=128)
     u.add_argument("--halo", type=int, default=8)
     u.add_argument("--tile_batch", type=int, default=4)
+    u.add_argument("--self_ensemble", action="store_true",
+                   help="x8 flip/rotation test-time augmentation")
 
     # ---- interp ----
     i = sub.add_parser("interp", help="network interpolation (ESRGAN §3.4)")
@@ -232,7 +236,8 @@ def main(argv=None):
         out = evaluate_directory(cfg, g_params, args.dataset_dir,
                                  tile=args.tile, halo=args.halo,
                                  tile_batch=args.tile_batch,
-                                 max_images=args.max_images)
+                                 max_images=args.max_images,
+                                 use_self_ensemble=args.self_ensemble)
         if args.json:
             print(json.dumps(out))
         else:
@@ -262,9 +267,16 @@ def main(argv=None):
                 lr_u8 = np.asarray(im.convert("RGB"))
             lrn = normalize(jnp.asarray(lr_u8, jnp.float32) / 255.0,
                             mean, std)
-            srn = tiled_upscale(lambda x: infer(g_params, x), lrn,
-                                scale=cfg.generator.scale, tile=args.tile,
-                                halo=args.halo, tile_batch=args.tile_batch)
+            up = lambda img: tiled_upscale(
+                lambda x: infer(g_params, x), img,
+                scale=cfg.generator.scale, tile=args.tile,
+                halo=args.halo, tile_batch=args.tile_batch)
+            if args.self_ensemble:
+                from super_resolution_tpu.ops import self_ensemble
+
+                srn = self_ensemble(up, lrn)
+            else:
+                srn = up(lrn)
             sr_u8 = np.asarray(to_uint8_image(srn, cfg.data))
             Image.fromarray(sr_u8).save(dst)
             print(f"[cli] {lr_u8.shape[1]}x{lr_u8.shape[0]} → "

@@ -9,3 +9,4 @@ from super_resolution_tpu.ops.resize import (  # noqa: F401
     bicubic_downsample,
     bicubic_resize,
 )
+from super_resolution_tpu.ops.ensemble import self_ensemble  # noqa: F401

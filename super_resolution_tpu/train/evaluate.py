@@ -36,7 +36,7 @@ def evaluate_directory(
         tile: int = 128, halo: int = 8, tile_batch: int = 4,
         mesh=None, max_images: Optional[int] = None,
         files: Optional[Iterable[str]] = None,
-        infer_fn=None) -> Dict[str, float]:
+        infer_fn=None, use_self_ensemble: bool = False) -> Dict[str, float]:
     """Evaluate G over every image in ``val_dir``; returns mean metrics.
 
     Pass the already-jitted ``infer_fn`` when calling repeatedly (the
@@ -64,8 +64,15 @@ def evaluate_directory(
         hr01 = hr01[:h, :w]
         lr01 = bicubic_downsample(jnp.asarray(hr01), scale)
         lrn = normalize(lr01, mean, std)
-        srn = tiled_upscale(fn, lrn, scale=scale, tile=tile, halo=halo,
-                            tile_batch=tile_batch, mesh=mesh)
+        upscale = lambda img: tiled_upscale(          # noqa: E731
+            fn, img, scale=scale, tile=tile, halo=halo,
+            tile_batch=tile_batch, mesh=mesh)
+        if use_self_ensemble:
+            from super_resolution_tpu.ops import self_ensemble
+
+            srn = self_ensemble(upscale, lrn)
+        else:
+            srn = upscale(lrn)
         sr01 = jnp.clip(denormalize(srn, mean, std), 0.0, 1.0)
         m = eval_metrics(sr01, jnp.asarray(hr01))
         per_image.append({k: float(v) for k, v in m.items()})
