@@ -51,10 +51,13 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray,
     w = jnp.tile(w, (1, 1, 1, c))
 
     def filt(img):
+        # HIGHEST precision is load-bearing: the E[x²] − μ² variance
+        # cancellation below turns into garbage (SSIM > 1) under XLA's
+        # default reduced-precision TPU convs
         return jax.lax.conv_general_dilated(
-            img, w, (1, 1), "VALID",
+            img.astype(jnp.float32), w, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c)
+            feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
 
     mu_x, mu_y = filt(pred), filt(target)
     mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
