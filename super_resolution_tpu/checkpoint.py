@@ -59,7 +59,19 @@ def restore_checkpoint(
         args = {"state": ocp.args.StandardRestore(template)}
         if has_data:
             args["data"] = ocp.args.JsonRestore()
-        out = mgr.restore(step, args=ocp.args.Composite(**args))
+        try:
+            out = mgr.restore(step, args=ocp.args.Composite(**args))
+        except ValueError as e:
+            if "do not match" in str(e):
+                raise ValueError(
+                    f"checkpoint at {ckpt_dir!r} step {step} has a "
+                    "different state tree than the current config "
+                    "(e.g. resuming a PSNR-pretrain checkpoint with the "
+                    "perceptual loss enabled). To warm-start the "
+                    "generator into a fresh GAN state use "
+                    "train(init_g_from=...) / --init_g_from instead of "
+                    "--resume.") from e
+            raise
     data_state = out.get("data") if has_data else None
     return out["state"], data_state, step
 

@@ -160,6 +160,10 @@ def main(argv=None):
     t.add_argument("--sample_dir", default=None)
     t.add_argument("--log_dir", default=None)
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--init_g_from", default=None,
+                   help="warm-start G from a PSNR checkpoint (.pth or "
+                        "orbax dir) into a fresh GAN state — the ESRGAN "
+                        "pretrain->GAN recipe")
     t.add_argument("--data_parallel", type=int, default=None)
     t.add_argument("--eval_dir", default=None,
                    help="validation dir for periodic in-loop eval")
@@ -224,7 +228,7 @@ def main(argv=None):
             data_loader = GrainPatchLoader(cfg.data, seed=cfg.seed)
         with profiler_trace(args.profile_dir):
             train(cfg, data_loader=data_loader, total_steps=args.steps,
-                  resume=args.resume,
+                  resume=args.resume, init_g_from=args.init_g_from,
                   log_dir=args.log_dir, sample_dir=args.sample_dir,
                   eval_dir=args.eval_dir, eval_interval=args.eval_interval)
         return 0

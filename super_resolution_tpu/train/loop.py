@@ -81,7 +81,8 @@ def train(cfg: TrainConfig,
           log_dir: Optional[str] = None,
           sample_dir: Optional[str] = None,
           eval_dir: Optional[str] = None,
-          eval_interval: Optional[int] = None) -> GANTrainState:
+          eval_interval: Optional[int] = None,
+          init_g_from: Optional[str] = None) -> GANTrainState:
     """Run training; returns the final state.
 
     Data comes from (in priority order) ``data_iter`` (a plain batch
@@ -106,6 +107,29 @@ def train(cfg: TrainConfig,
 
     state = init_state(cfg)
     start_step = 0
+    if init_g_from and not resume:
+        # Warm-start G from a PSNR-pretrain checkpoint (orbax dir or torch
+        # .pth) into a FRESH GAN state — the canonical ESRGAN recipe
+        # (paper §4: GAN training initializes from the PSNR model).
+        # Optimizer/D/RNG start fresh; only g_params is replaced.
+        if os.path.isfile(init_g_from):
+            from super_resolution_tpu.import_torch import (
+                import_generator,
+                load_pth,
+            )
+
+            variables, _ = import_generator(load_pth(init_g_from),
+                                            cfg.generator)
+            g_params = variables["params"]
+        else:
+            from super_resolution_tpu.checkpoint import (
+                restore_generator_params,
+            )
+
+            g_params, at = restore_generator_params(init_g_from)
+            print(f"[train] warm-starting G from step-{at} checkpoint")
+        state = state.replace(g_params=jax.tree.map(
+            lambda t, s: jnp.asarray(s, t.dtype), state.g_params, g_params))
     if resume:
         try:
             state, data_state, start_step = restore_checkpoint(

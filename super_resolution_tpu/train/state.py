@@ -76,6 +76,15 @@ def init_state(cfg: TrainConfig, key: Optional[jax.Array] = None,
             vgg_params = load_vgg_params(cfg.vgg.weights_path)
         else:
             vgg_params = vgg.init(kv, jnp.zeros(hr_shape))
+            print(
+                "[init] WARNING: perceptual loss is using RANDOM VGG "
+                "weights (no vgg.weights_path). Random features shrink "
+                "to ~1e-5 magnitude through 16 conv layers, so the "
+                "perceptual term is effectively inert and GAN training "
+                "will be dominated by the adversarial loss — convert "
+                "ImageNet weights with tools/convert_vgg.py, or train "
+                "with use_perceptual=False / --no_perceptual and a "
+                "higher lambda_pixel.", flush=True)
 
     return GANTrainState(
         step=jnp.zeros((), jnp.int32),

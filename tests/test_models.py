@@ -81,6 +81,26 @@ def test_nearest_upsample_matches_torch():
     np.testing.assert_array_equal(ours, ref)
 
 
+@pytest.mark.parametrize("scale", [2, 8])
+def test_generator_other_scales(scale):
+    """×2 and ×8 variants (1 and 3 upsample stages) — the config's scale
+    is a power of two, not hardwired to 4."""
+    cfg = GeneratorConfig(n_blocks=1, filters=8, growth=4, scale=scale)
+    g = RRDBNet(cfg)
+    v = g.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    y = g.apply(v, jnp.zeros((1, 8, 8, 3)))
+    assert y.shape == (1, 8 * scale, 8 * scale, 3)
+    n_up = {2: 1, 8: 3}[scale]
+    assert f"upconv{n_up}" in v["params"]
+    assert f"upconv{n_up + 1}" not in v["params"]
+
+
+def test_generator_rejects_non_power_of_two_scale():
+    cfg = GeneratorConfig(scale=3)
+    with pytest.raises(AssertionError):
+        cfg.n_upsample
+
+
 @pytest.mark.parametrize("scheme", ["torch_default", "msra_scaled"])
 def test_init_schemes_statistics(scheme):
     cfg = GeneratorConfig(n_blocks=1, filters=64, growth=32, init=scheme)

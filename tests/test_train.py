@@ -184,6 +184,54 @@ def test_train_loop_resume_replays_exact_batches(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_init_g_from_warm_start(tmp_path):
+    """The ESRGAN pretrain→GAN recipe: a PSNR checkpoint's generator
+    warm-starts a fresh GAN state (different tree: +VGG, fresh opt/D)."""
+    from super_resolution_tpu.config import LossConfig
+
+    psnr_cfg = tiny_cfg(checkpoint_dir=str(tmp_path / "psnr"),
+                        checkpoint_interval=2,
+                        loss=LossConfig(lambda_adv=0.0,
+                                        use_perceptual=False))
+    psnr_state = train(psnr_cfg, total_steps=2)
+
+    gan_cfg = tiny_cfg(checkpoint_dir=str(tmp_path / "gan"),
+                       loss=LossConfig(use_perceptual=True),
+                       warmup_batches=0)
+    # resuming across configs must fail with the helpful message...
+    with pytest.raises(ValueError, match="init_g_from"):
+        from super_resolution_tpu.checkpoint import restore_checkpoint
+        from super_resolution_tpu.train import init_state
+
+        restore_checkpoint(psnr_cfg.checkpoint_dir, init_state(gan_cfg))
+
+    # ...while init_g_from works and carries over exactly g_params
+    state = train(gan_cfg, total_steps=1,
+                  init_g_from=psnr_cfg.checkpoint_dir)
+    assert state.vgg_params is not None
+    assert int(jax.device_get(state.step)) == 1
+
+
+def test_init_g_from_pth(tmp_path):
+    """Warm-start also accepts a reference-format .pth file."""
+    import torch
+
+    import sys
+    sys.path.insert(0, "tests")
+    from torch_spec import RRDBNetTorch
+
+    torch.manual_seed(0)
+    tm = RRDBNetTorch(nf=16, nb=1, gc=8)
+    pth = str(tmp_path / "g.pth")
+    torch.save(tm.state_dict(), pth)
+
+    cfg = tiny_cfg(checkpoint_dir=str(tmp_path / "ck"),
+                   warmup_batches=10 ** 9)
+    state = train(cfg, total_steps=1, init_g_from=pth)
+    # params at step 0 were the torch ones (one Adam step applied after)
+    assert int(jax.device_get(state.step)) == 1
+
+
 def test_lr_halving_schedule():
     from super_resolution_tpu.config import OptimConfig
     from super_resolution_tpu.train.state import lr_schedule
