@@ -6,7 +6,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 - Model: canonical 23-block/64-filter/growth-32 RRDBNet (16,697,987
   params), bf16 compute / fp32 params, NHWC.
 - Workload: batched 128×128 LR tiles → 512×512 SR (the tiled-inference
-  production shape).
+  production shape; measured faster per pixel than 256² tiles —
+  BENCHNOTES.md).  The scan body feeds the carry back into the input —
+  without that data dependency XLA hoists the loop-invariant forward out
+  of the scan and the "throughput" becomes one forward amortized over
+  ITERS (a 10× phantom speedup; see BENCHNOTES.md "scan-hoisting trap").
 - Timing: a lax.scan chain of ITERS dependent forwards inside ONE jit,
   synchronized by `jax.device_get` of a scalar.  This is deliberate: on
   the axon-tunneled chip `block_until_ready` does not actually block and
