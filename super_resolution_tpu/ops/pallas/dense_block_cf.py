@@ -1,0 +1,170 @@
+"""Pallas TPU kernel v3: channels-first fused dense block.
+
+Third attempt at beating XLA's conv emitter on the N=32-channel dense
+convs (see BENCHNOTES.md for v1/v2 post-mortems).  The two killers of
+the NHWC versions were (a) 128-lane padding of 32-channel intermediates
+(4× VMEM/VPU waste) and (b) tap extraction needing 32-lane-granular lane
+slices (shuffle relayouts).  This version flips the layout to
+channels-first, (C, H, W):
+
+- lanes   = W (128 for production tiles → full lanes, no padding)
+- sublanes= H rows
+- outer   = channels — so 32-channel tensors waste nothing, concats
+  along C are free outer-dim stacking, and per-tap slabs z[kF:(k+1)F]
+  are free outer-dim slices.
+
+The conv becomes one contraction with taps packed into the *M* dim:
+
+    z[(tap·F+f), h, w] = Σ_c  Wp[(tap·F+f), c] · x[c, h, w]
+    y[f, h, w]         = Σ_tap z[tap·F+f, h+dy-1, w+dx-1]   (9 adds)
+
+M = 9F = 288 (≥ 128: no M waste), K = C, N = H·W — every matmul dim is
+healthy, and the shift-adds are ±1-row/±1-lane vector shifts, not
+shuffles.  All five chained convs run in one program with VMEM-resident
+intermediates (conv-over-concat = per-slab accumulated contractions),
+identical boundary-masking halo logic to dense_block.py.
+
+Input/output are (B, C, H, W); the caller transposes once around the
+whole RRDB trunk, not per block.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_weights_cf(w_hwio: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, F) HWIO → (9F, C): row (dy*3+dx)*F + f, col c."""
+    k_h, k_w, c, f = w_hwio.shape
+    assert (k_h, k_w) == (3, 3), w_hwio.shape
+    return jnp.transpose(w_hwio, (0, 1, 3, 2)).reshape(9 * f, c)
+
+
+def _conv_cf(parts, wps, bias, *, out_rows, width, cout, slope,
+             act, dtype, row0, h_img):
+    """One conv: parts are (C_j, rows_j, W) values covering the centered
+    (out_rows+2)-row window; returns (cout, out_rows, W).
+
+    Columns carry NO halo — W stays exactly the lane width (128 in
+    production) so nothing spills into a second, mostly-empty lane tile.
+    The dx = ±1 taps use native lane rolls with the wrapped edge column
+    masked to zero (reproducing SAME padding)."""
+    acc = None
+    for part, wp in zip(parts, wps):
+        d = jax.lax.dot_general(
+            wp, part, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (9F, rows+2, W)
+        acc = d if acc is None else acc + d
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, width), 2)
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            k = dy * 3 + dx
+            part = acc[k * cout:(k + 1) * cout, dy:dy + out_rows, :]
+            if dx == 0:      # y[w] += z[w-1]: roll right, zero col 0
+                part = jnp.where(col > 0, pltpu.roll(part, 1, 2), 0.0)
+            elif dx == 2:    # y[w] += z[w+1]: roll left (≡ +W-1), zero last
+                part = jnp.where(col < width - 1,
+                                 pltpu.roll(part, width - 1, 2), 0.0)
+            out = part if out is None else out + part
+    out = out + bias[:, None, None]
+    if act:
+        out = jnp.where(out >= 0, out, slope * out)
+    g_row = jax.lax.broadcasted_iota(jnp.int32, (1, out_rows, 1), 1) + row0
+    out = jnp.where((g_row >= 0) & (g_row < h_img), out, 0.0)
+    return out.astype(dtype)
+
+
+def _kernel(*refs, rows, width, n_convs, growth, filters,
+            res_scale, slope, h_img, n_in_blocks):
+    blocks = refs[:n_in_blocks]
+    w_refs = refs[n_in_blocks:n_in_blocks + n_convs]
+    b_refs = refs[n_in_blocks + n_convs:n_in_blocks + 2 * n_convs]
+    o_ref = refs[n_in_blocks + 2 * n_convs]
+    band_row0 = pl.program_id(1) * rows
+
+    halo = n_convs
+    band = jnp.concatenate([b[0] for b in blocks],
+                           axis=1)[:, : rows + 2 * halo, :]
+    dtype = band.dtype
+
+    feats = [band]                     # feats[j]: (C_j, rows_j, W)
+    for k in range(n_convs):
+        last = k == n_convs - 1
+        cout = filters if last else growth
+        out_rows = rows + 2 * (halo - k - 1)
+        parts, wps = [], []
+        off = 0
+        for j, f in enumerate(feats):
+            trim = (f.shape[1] - (out_rows + 2)) // 2
+            parts.append(f[:, trim:trim + out_rows + 2, :])
+            c_j = f.shape[0]
+            wps.append(w_refs[k][:, off:off + c_j])
+            off += c_j
+        out = _conv_cf(parts, wps, b_refs[k][0], out_rows=out_rows,
+                       width=width, cout=cout, slope=slope,
+                       act=not last, dtype=dtype,
+                       row0=band_row0 - (halo - k - 1), h_img=h_img)
+        feats.append(out)
+
+    x_center = band[:, halo:halo + rows, :]
+    y = x_center.astype(jnp.float32) + res_scale * \
+        feats[-1].astype(jnp.float32)
+    o_ref[:] = y[None].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope"))
+def fused_dense_block_cf(x: jnp.ndarray,
+                         weights: Sequence[jnp.ndarray],
+                         biases: Sequence[jnp.ndarray],
+                         *, rows: int = 16, res_scale: float = 0.2,
+                         slope: float = 0.2) -> jnp.ndarray:
+    """x: (B, C, H, W) channels-first; weights[k]: (3,3,C_k_in,C_k_out)
+    HWIO.  Returns (B, C, H, W): x + res_scale·conv5([x, x1..x4])."""
+    batch, cin, h, w = x.shape
+    n_convs = len(weights)
+    growth = weights[0].shape[-1]
+    filters = weights[-1].shape[-1]
+    assert h % rows == 0 and rows >= 5, (h, rows)
+    n_bands = h // rows
+    halo = n_convs
+    n_in_blocks = 2 if rows >= 2 * halo else 3
+
+    # columns carry no halo (dx taps are lane rolls in-kernel); only rows
+    # are padded for the chained-conv halo
+    pad_bottom = (n_bands + n_in_blocks - 1) * rows - h - halo
+    x_pad = jnp.pad(x, ((0, 0), (0, 0), (halo, pad_bottom), (0, 0)))
+
+    wps = [pack_weights_cf(wk).astype(x.dtype) for wk in weights]
+    b2 = [bk.reshape(1, -1).astype(jnp.float32) for bk in biases]
+
+    kern = functools.partial(
+        _kernel, rows=rows, width=w, n_convs=n_convs,
+        growth=growth, filters=filters, res_scale=res_scale, slope=slope,
+        h_img=h, n_in_blocks=n_in_blocks)
+
+    in_block = lambda off: pl.BlockSpec(                      # noqa: E731
+        (1, cin, rows, w), lambda b, i, o=off: (b, 0, i + o, 0),
+        memory_space=pltpu.VMEM)
+
+    flops = 2 * batch * h * w * sum(9 * wk.shape[2] * wk.shape[3]
+                                    for wk in weights)
+    return pl.pallas_call(
+        kern,
+        grid=(batch, n_bands),
+        in_specs=[in_block(o) for o in range(n_in_blocks)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_convs),
+        out_specs=pl.BlockSpec((1, filters, rows, w),
+                               lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, filters, h, w), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=x.size * 4, transcendentals=0),
+    )(*([x_pad] * n_in_blocks), *wps, *b2)
