@@ -261,6 +261,44 @@ def import_discriminator(
     return {"params": params, "batch_stats": stats}, cfg
 
 
+def export_discriminator(variables: dict,
+                         cfg: DiscriminatorConfig) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_discriminator`: flax {params, batch_stats}
+    → sequential ``model.{idx}`` torch state dict (the reference layer
+    numbering, including indices consumed by stateless LeakyReLUs)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+    idx = 0
+
+    def put_conv(name):
+        nonlocal idx
+        sd[f"model.{idx}.weight"] = \
+            np.asarray(params[name]["kernel"]).transpose(3, 2, 0, 1)
+        sd[f"model.{idx}.bias"] = np.asarray(params[name]["bias"])
+        idx += 1
+
+    def put_bn(name):
+        nonlocal idx
+        sd[f"model.{idx}.weight"] = np.asarray(params[name]["scale"])
+        sd[f"model.{idx}.bias"] = np.asarray(params[name]["bias"])
+        sd[f"model.{idx}.running_mean"] = np.asarray(stats[name]["mean"])
+        sd[f"model.{idx}.running_var"] = np.asarray(stats[name]["var"])
+        sd[f"model.{idx}.num_batches_tracked"] = np.asarray(0)
+        idx += 1
+
+    for i in range(cfg.n_scales):
+        put_conv(f"conv{i}_0")
+        if i != 0:
+            put_bn(f"bn{i}_0")
+        idx += 1                       # LeakyReLU
+        put_conv(f"conv{i}_1")
+        put_bn(f"bn{i}_1")
+        idx += 1                       # LeakyReLU
+    put_conv("head")
+    return sd
+
+
 # --------------------------------------------------------------------------
 # VGG-19
 # --------------------------------------------------------------------------

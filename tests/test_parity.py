@@ -158,6 +158,33 @@ def test_importer_alternate_namings(rewrite):
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
 
 
+def test_discriminator_export_roundtrip_through_torch():
+    """flax D → export → torch module → outputs match (both directions of
+    the interchange are exact)."""
+    from super_resolution_tpu.config import DiscriminatorConfig
+    from super_resolution_tpu.import_torch import export_discriminator
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = DiscriminatorConfig(base_filters=8, n_scales=2)
+    fm = Discriminator(cfg)
+    variables = fm.init(jax.random.key(7), jnp.zeros((1, 32, 32, 3)),
+                        train=False)
+    sd = export_discriminator(variables, cfg)
+
+    tm = DiscriminatorTorch(base=8, n_scales=2)
+    tm.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                        for k, v in sd.items()})
+    tm.eval()
+
+    x = torch.randn(2, 3, 32, 32)
+    ref = _nhwc(tm(x))
+    out = np.asarray(fm.apply(variables, jnp.asarray(_nhwc(x)),
+                              train=False))
+    np.testing.assert_allclose(out, ref, atol=5e-5, rtol=1e-4)
+
+
 def test_importer_rejects_config_mismatch():
     torch.manual_seed(6)
     tm = RRDBNetTorch(**SMALL)
