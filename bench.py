@@ -45,10 +45,16 @@ def main() -> int:
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
 
-    cfg = GeneratorConfig()
+    # the channels-first fused Pallas dense-block kernel beats XLA's conv
+    # emitter by ~1.24x end-to-end on this chip (BENCHNOTES.md kernel v3b);
+    # fall back to the lax path if the kernel cannot compile here
+    cfg = GeneratorConfig(conv_impl="pallas_cf")
     model = RRDBNet(cfg, dtype=jnp.bfloat16)
-    params = jax.jit(model.init)(jax.random.key(0),
-                                 jnp.zeros((1, 32, 32, 3)))
+    # init through the lax path — the param tree is implementation-
+    # agnostic and init must not depend on the pallas path compiling
+    params = jax.jit(RRDBNet(GeneratorConfig(),
+                             dtype=jnp.bfloat16).init)(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
     x = jax.random.normal(jax.random.key(1), (BATCH, TILE, TILE, 3),
                           jnp.float32)
 
@@ -61,7 +67,15 @@ def main() -> int:
 
     f = jax.jit(chained)
     t0 = time.perf_counter()
-    jax.device_get(f(params, x))           # compile + warm
+    try:
+        jax.device_get(f(params, x))       # compile + warm
+    except Exception as e:                 # pallas path unavailable here
+        print(f"[bench] pallas_cf unavailable ({type(e).__name__}); "
+              "falling back to lax", file=sys.stderr)
+        cfg = GeneratorConfig()
+        model = RRDBNet(cfg, dtype=jnp.bfloat16)
+        f = jax.jit(chained)
+        jax.device_get(f(params, x))
     print(f"[bench] compile+first: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 

@@ -50,6 +50,7 @@ def _build_cfg(args) -> "TrainConfig":
         n_blocks=ov("residual_blocks", cfg.generator.n_blocks),
         channels=ov("channels", cfg.generator.channels),
         upsampler=ov("upsampler", cfg.generator.upsampler),
+        conv_impl=ov("conv_impl", cfg.generator.conv_impl),
     )
     data = dataclasses.replace(
         cfg.data,
@@ -127,6 +128,11 @@ def _add_common(p: argparse.ArgumentParser):
                    default=None)
     p.add_argument("--dtype", default=None,
                    choices=("bfloat16", "float32"))
+    p.add_argument("--conv_impl", default=None,
+                   choices=("lax", "pallas", "pallas_fused", "pallas_cf"),
+                   help="generator conv implementation; pallas_cf is the "
+                        "fastest measured inference path on TPU "
+                        "(BENCHNOTES.md); training always uses lax")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--vgg_weights", default=None,
                    help="npz from tools/convert_vgg.py")

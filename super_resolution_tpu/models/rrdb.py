@@ -88,7 +88,7 @@ class Conv3x3(nn.Module):
 
 def _conv3x3(x, features: int, *, name: str, scheme: str, dtype,
              impl: str = "lax"):
-    if impl == "pallas_fused":
+    if impl in ("pallas_fused", "pallas_cf"):
         impl = "lax"   # fusion applies to dense blocks; stem/trunk stay lax
     return Conv3x3(features, scheme, dtype, impl, name=name)(x)
 
@@ -121,31 +121,50 @@ class DenseBlock(nn.Module):
     cfg: GeneratorConfig
     dtype: Any = jnp.float32
 
+    def _declare_params(self, cin):
+        """Declare the 5 conv param pairs (identical tree to the per-conv
+        path) and return (weights, biases)."""
+        cfg = self.cfg
+        ws, bs = [], []
+        for k in range(cfg.n_dense_convs):
+            last = k == cfg.n_dense_convs - 1
+            width = cfg.filters if last else cfg.growth
+            kern, bias = _ConvParams((3, 3, cin, width), cfg.init,
+                                     name=f"conv{k + 1}")()
+            ws.append(kern.astype(self.dtype))
+            bs.append(bias)
+            if not last:
+                cin += width
+        return ws, bs
+
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
+        if cfg.conv_impl == "pallas_cf":
+            # channels-first fused kernel (the one that beats XLA on this
+            # chip — BENCHNOTES.md kernel v3b); x arrives as (B, C, H, W)
+            from super_resolution_tpu.ops.pallas.dense_block_cf import (
+                fused_dense_block_cf2,
+            )
+
+            ws, bs = self._declare_params(x.shape[1])
+            rows = 16 if x.shape[2] % 16 == 0 else 8
+            return fused_dense_block_cf2(
+                x.astype(self.dtype), ws, bs, rows=rows,
+                res_scale=cfg.res_scale, slope=cfg.lrelu_slope)
         if cfg.conv_impl == "pallas_fused" and x.shape[1] % 8 == 0:
             from super_resolution_tpu.ops.pallas.dense_block import (
                 fused_dense_block,
             )
 
-            ws, bs = [], []
-            cin = x.shape[-1]
-            for k in range(cfg.n_dense_convs):
-                last = k == cfg.n_dense_convs - 1
-                width = cfg.filters if last else cfg.growth
-                kern, bias = _ConvParams((3, 3, cin, width), cfg.init,
-                                         name=f"conv{k + 1}")()
-                ws.append(kern.astype(self.dtype))
-                bs.append(bias)
-                if not last:
-                    cin += width
+            ws, bs = self._declare_params(x.shape[-1])
             rows = 16 if x.shape[1] % 16 == 0 else 8
             return fused_dense_block(
                 x.astype(self.dtype), ws, bs, rows=rows,
                 res_scale=cfg.res_scale, slope=cfg.lrelu_slope)
 
-        impl = "lax" if cfg.conv_impl == "pallas_fused" else cfg.conv_impl
+        impl = "lax" if cfg.conv_impl in ("pallas_fused", "pallas_cf") \
+            else cfg.conv_impl
         feats = x
         out = x
         for k in range(cfg.n_dense_convs):
@@ -186,9 +205,14 @@ class RRDBNet(nn.Module):
         x = x.astype(self.dtype)
         fea = _conv3x3(x, cfg.filters, name="conv_first", scheme=cfg.init,
                        dtype=self.dtype, impl=cfg.conv_impl)
-        trunk = fea
+        # the channels-first fused kernel runs the whole trunk in NCHW —
+        # two transposes total, hoisted out of the 23-block loop
+        cf = cfg.conv_impl == "pallas_cf"
+        trunk = jnp.transpose(fea, (0, 3, 1, 2)) if cf else fea
         for b in range(cfg.n_blocks):
             trunk = RRDB(cfg, self.dtype, name=f"block{b}")(trunk)
+        if cf:
+            trunk = jnp.transpose(trunk, (0, 2, 3, 1))
         trunk = _conv3x3(trunk, cfg.filters, name="trunk_conv",
                          scheme=cfg.init, dtype=self.dtype,
                          impl=cfg.conv_impl)

@@ -168,3 +168,141 @@ def fused_dense_block_cf(x: jnp.ndarray,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size * 4, transcendentals=0),
     )(*([x_pad] * n_in_blocks), *wps, *b2)
+
+
+# ---------------------------------------------------------------------------
+# v3b: 2D-flattened variant — works around Mosaic's lack of 3D contractions
+# by keeping every feature map as (C, rows·W): per-row aligned lane copies
+# flatten the band once, the contraction is a plain 2D matmul, dy taps are
+# W-aligned lane slices, dx taps are lane rolls masked at row boundaries
+# (lane % W).
+# ---------------------------------------------------------------------------
+
+def _conv_cf2(parts, wps, bias, *, out_rows, width, cout, slope, act,
+              dtype, row0, h_img):
+    """parts: (C_j, (out_rows+2)·W) 2D values; returns (cout, out_rows·W)."""
+    acc = None
+    for part, wp in zip(parts, wps):
+        d = jnp.dot(wp, part, preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d        # (9F, (out_rows+2)·W)
+
+    m_out = out_rows * width
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, m_out), 1)
+    col = lane % width
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            k = dy * 3 + dx
+            part = acc[k * cout:(k + 1) * cout,
+                       dy * width:dy * width + m_out]
+            if dx == 0:
+                part = jnp.where(col > 0, pltpu.roll(part, 1, 1), 0.0)
+            elif dx == 2:
+                part = jnp.where(col < width - 1,
+                                 pltpu.roll(part, m_out - 1, 1), 0.0)
+            out = part if out is None else out + part
+    out = out + bias[:, None]
+    if act:
+        out = jnp.where(out >= 0, out, slope * out)
+    g_row = lane // width + row0
+    out = jnp.where((g_row >= 0) & (g_row < h_img), out, 0.0)
+    return out.astype(dtype)
+
+
+def _kernel2(*refs, rows, width, n_convs, growth, filters,
+             res_scale, slope, h_img, n_in_blocks):
+    blocks = refs[:n_in_blocks]
+    w_refs = refs[n_in_blocks:n_in_blocks + n_convs]
+    b_refs = refs[n_in_blocks + n_convs:n_in_blocks + 2 * n_convs]
+    o_ref = refs[n_in_blocks + 2 * n_convs]
+    band_ref = refs[n_in_blocks + 2 * n_convs + 1]
+    band_row0 = pl.program_id(1) * rows
+
+    halo = n_convs
+    band_rows = rows + 2 * halo
+    # flatten the banded input to (C, band_rows·W): aligned per-row lane
+    # stores into a VMEM scratch (lane-dim value concats are not
+    # implemented by this Mosaic)
+    n = 0
+    for b in blocks:
+        for r in range(rows):
+            if n < band_rows:
+                band_ref[:, n * width:(n + 1) * width] = b[0, :, r, :]
+            n += 1
+    band2d = band_ref[:]
+    dtype = band2d.dtype
+
+    feats = [band2d]                    # feats[j]: (C_j, rows_j·W)
+    for k in range(n_convs):
+        last = k == n_convs - 1
+        cout = filters if last else growth
+        out_rows = rows + 2 * (halo - k - 1)
+        parts, wps = [], []
+        off = 0
+        for j, f in enumerate(feats):
+            rows_j = f.shape[1] // width
+            trim = (rows_j - (out_rows + 2)) // 2
+            parts.append(f[:, trim * width:(trim + out_rows + 2) * width])
+            c_j = f.shape[0]
+            wps.append(w_refs[k][:, off:off + c_j])
+            off += c_j
+        out = _conv_cf2(parts, wps, b_refs[k][0], out_rows=out_rows,
+                        width=width, cout=cout, slope=slope,
+                        act=not last, dtype=dtype,
+                        row0=band_row0 - (halo - k - 1), h_img=h_img)
+        feats.append(out)
+
+    x_center = band2d[:, halo * width:(halo + rows) * width]
+    y = x_center.astype(jnp.float32) + res_scale * \
+        feats[-1].astype(jnp.float32)
+    o_ref[:] = y.reshape(1, y.shape[0], rows, width).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope"))
+def fused_dense_block_cf2(x: jnp.ndarray,
+                          weights: Sequence[jnp.ndarray],
+                          biases: Sequence[jnp.ndarray],
+                          *, rows: int = 16, res_scale: float = 0.2,
+                          slope: float = 0.2) -> jnp.ndarray:
+    """2D-flattened channels-first fused dense block; same contract as
+    :func:`fused_dense_block_cf`."""
+    batch, cin, h, w = x.shape
+    n_convs = len(weights)
+    growth = weights[0].shape[-1]
+    filters = weights[-1].shape[-1]
+    assert h % rows == 0 and rows >= 5, (h, rows)
+    n_bands = h // rows
+    halo = n_convs
+    n_in_blocks = -(-(rows + 2 * halo) // rows)   # blocks covering the band
+
+    pad_bottom = (n_bands + n_in_blocks - 1) * rows - h - halo
+    x_pad = jnp.pad(x, ((0, 0), (0, 0), (halo, pad_bottom), (0, 0)))
+
+    wps = [pack_weights_cf(wk).astype(x.dtype) for wk in weights]
+    b2 = [bk.reshape(1, -1).astype(jnp.float32) for bk in biases]
+
+    kern = functools.partial(
+        _kernel2, rows=rows, width=w, n_convs=n_convs,
+        growth=growth, filters=filters, res_scale=res_scale, slope=slope,
+        h_img=h, n_in_blocks=n_in_blocks)
+
+    in_block = lambda off: pl.BlockSpec(                      # noqa: E731
+        (1, cin, rows, w), lambda b, i, o=off: (b, 0, i + o, 0),
+        memory_space=pltpu.VMEM)
+
+    flops = 2 * batch * h * w * sum(9 * wk.shape[2] * wk.shape[3]
+                                    for wk in weights)
+    band_rows = rows + 2 * halo
+    return pl.pallas_call(
+        kern,
+        grid=(batch, n_bands),
+        in_specs=[in_block(o) for o in range(n_in_blocks)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_convs),
+        out_specs=pl.BlockSpec((1, filters, rows, w),
+                               lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, filters, h, w), x.dtype),
+        scratch_shapes=[pltpu.VMEM((cin, band_rows * w), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=x.size * 4, transcendentals=0),
+    )(*([x_pad] * n_in_blocks), *wps, *b2)

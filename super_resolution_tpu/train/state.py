@@ -59,6 +59,15 @@ def build_models(cfg: TrainConfig):
 
 def init_state(cfg: TrainConfig, key: Optional[jax.Array] = None,
                ) -> GANTrainState:
+    import dataclasses
+
+    # initialize through the lax conv path: the param tree is
+    # implementation-agnostic and init must not depend on a Pallas kernel
+    # compiling on the current backend
+    if cfg.generator.conv_impl != "lax":
+        cfg = dataclasses.replace(
+            cfg, generator=dataclasses.replace(cfg.generator,
+                                               conv_impl="lax"))
     key = jax.random.key(cfg.seed) if key is None else key
     kg, kd, kv, krun = jax.random.split(key, 4)
     g, d, vgg = build_models(cfg)

@@ -53,6 +53,20 @@ StepFn = Callable[[GANTrainState, jnp.ndarray],
                   Tuple[GANTrainState, Metrics]]
 
 
+def _training_cfg(cfg: TrainConfig) -> TrainConfig:
+    """Training always differentiates through the lax conv path — the
+    Pallas kernels (inference fast path) define no custom VJP.  The param
+    tree is implementation-agnostic, so checkpoints swap freely between
+    paths."""
+    import dataclasses
+
+    if cfg.generator.conv_impl != "lax":
+        return dataclasses.replace(
+            cfg, generator=dataclasses.replace(cfg.generator,
+                                               conv_impl="lax"))
+    return cfg
+
+
 def _prep(state: GANTrainState, hr_uint8: jnp.ndarray, cfg: TrainConfig):
     rng, k_aug = jax.random.split(state.rng)
     batch = preprocess_batch(k_aug, hr_uint8, cfg.data)
@@ -73,6 +87,7 @@ def _psnr01(cfg: TrainConfig, sr: jnp.ndarray, hr: jnp.ndarray):
 def make_pretrain_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
     """PSNR-only L1 pretraining of G (SURVEY.md §3.1 warmup branch;
     BASELINE.json config 2)."""
+    cfg = _training_cfg(cfg)
     g, _, _ = build_models(cfg)
     opt_g = make_optimizer(cfg.optim_g)
 
@@ -101,6 +116,7 @@ def make_pretrain_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
 def make_gan_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
     """Full ESRGAN alternating G/D step (SURVEY.md §3.1; BASELINE.json
     config 3)."""
+    cfg = _training_cfg(cfg)
     g, d, vgg = build_models(cfg)
     opt_g = make_optimizer(cfg.optim_g)
     opt_d = make_optimizer(cfg.optim_d)

@@ -115,8 +115,9 @@ def test_fused_dense_block_matches_lax(shape, rows):
     ((2, 32, 64, 32), 16),
 ])
 def test_fused_dense_block_channels_first_matches_lax(shape, rows):
-    """Kernel v3 (channels-first, packed-M) — interpret-mode exact;
-    currently compile-blocked on this Mosaic toolchain (BENCHNOTES.md)."""
+    """Kernel v3 (channels-first, packed-M, 3D contraction) —
+    interpret-mode exact; compile-blocked on this Mosaic toolchain
+    (the shipping variant is v3b below)."""
     from super_resolution_tpu.ops.pallas.dense_block_cf import (
         fused_dense_block_cf,
     )
@@ -141,7 +142,62 @@ def test_fused_dense_block_channels_first_matches_lax(shape, rows):
                                atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("impl", ["pallas", "pallas_fused"])
+@pytest.mark.parametrize("shape,rows", [
+    ((1, 16, 40, 32), 8),
+    ((2, 32, 64, 32), 16),
+    ((1, 24, 100, 32), 12),
+])
+def test_fused_dense_block_cf2_matches_lax(shape, rows):
+    """Kernel v3b (2D-flattened channels-first) — the variant that BEATS
+    XLA on-chip (BENCHNOTES.md: 1.35 vs 1.72 ms/block, 1.24x end-to-end
+    model speedup)."""
+    from super_resolution_tpu.ops.pallas.dense_block_cf import (
+        fused_dense_block_cf2,
+    )
+
+    nf, gc = shape[-1], 16
+    ws, bs = [], []
+    cin = nf
+    for k in range(5):
+        cout = nf if k == 4 else gc
+        ws.append(jax.random.normal(jax.random.key(10 + k),
+                                    (3, 3, cin, cout), jnp.float32) * 0.05)
+        bs.append(jax.random.normal(jax.random.key(20 + k), (cout,),
+                                    jnp.float32) * 0.1)
+        cin += gc
+    x = jax.random.normal(jax.random.key(0), shape, jnp.float32)
+    ref = _ref_dense_block(x, ws, bs)
+    with pltpu.force_tpu_interpret_mode():
+        ycf = fused_dense_block_cf2(jnp.transpose(x, (0, 3, 1, 2)), ws,
+                                    bs, rows=rows)
+    out = jnp.transpose(ycf, (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_training_forces_lax_conv_path():
+    """Pallas conv impls have no VJP — train steps silently fall back to
+    the lax path (identical params) so grads always work."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_train import tiny_cfg
+
+    import dataclasses
+
+    from super_resolution_tpu.train import init_state, make_pretrain_step
+    from super_resolution_tpu.data import SyntheticPatches
+
+    base = tiny_cfg()
+    cfg = dataclasses.replace(
+        base, generator=dataclasses.replace(base.generator,
+                                            conv_impl="pallas_cf"))
+    state = init_state(cfg)
+    batch = jnp.asarray(next(iter(SyntheticPatches(cfg.data, seed=0))))
+    _, m = make_pretrain_step(cfg)(state, batch)
+    assert np.isfinite(float(m["loss_pixel"]))
+
+
+@pytest.mark.parametrize("impl", ["pallas", "pallas_fused", "pallas_cf"])
 def test_rrdbnet_pallas_impl_matches_lax(impl):
     """Same params, all conv implementations, same output — the param
     tree is implementation-agnostic."""
