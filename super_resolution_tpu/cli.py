@@ -66,13 +66,21 @@ def _build_cfg(args) -> "TrainConfig":
         use_perceptual=cfg.loss.use_perceptual
         and not getattr(args, "no_perceptual", False),
     )
-    opt = OptimConfig(lr=ov("lr", cfg.optim_g.lr),
-                      b1=ov("b1", cfg.optim_g.b1),
-                      b2=ov("b2", cfg.optim_g.b2),
-                      lr_halve_steps=tuple(
-                          getattr(args, "lr_halve_steps", None) or ()))
+    def opt_with_flags(cur: OptimConfig) -> OptimConfig:
+        """Overlay CLI flags on a preset's optimizer config — flags that
+        weren't passed keep the preset values (incl. eps and
+        lr_halve_steps), so presets with customized optimizers survive."""
+        halve = getattr(args, "lr_halve_steps", None)
+        return dataclasses.replace(
+            cur, lr=ov("lr", cur.lr), b1=ov("b1", cur.b1),
+            b2=ov("b2", cur.b2),
+            lr_halve_steps=cur.lr_halve_steps if halve is None
+            else tuple(halve))
+
     return dataclasses.replace(
-        cfg, generator=gen, data=data, loss=loss, optim_g=opt, optim_d=opt,
+        cfg, generator=gen, data=data, loss=loss,
+        optim_g=opt_with_flags(cfg.optim_g),
+        optim_d=opt_with_flags(cfg.optim_d),
         n_epochs=ov("n_epochs", cfg.n_epochs),
         warmup_batches=ov("warmup_batches", cfg.warmup_batches),
         sample_interval=ov("sample_interval", cfg.sample_interval),
@@ -99,7 +107,9 @@ def _load_generator(args, cfg):
 
     path = args.checkpoint
     if os.path.isfile(path):            # torch .pth / .pt — arch inferred
-        variables, gen_cfg = import_generator(load_pth(path))
+        variables, gen_cfg = import_generator(
+            load_pth(path), strict=not getattr(args, "lenient_import",
+                                               False))
         cfg = dataclasses.replace(cfg, generator=gen_cfg)
         return variables["params"], cfg
     if os.path.isdir(path):             # orbax checkpoint dir
@@ -136,6 +146,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--vgg_weights", default=None,
                    help="npz from tools/convert_vgg.py")
+    p.add_argument("--lenient_import", action="store_true",
+                   help="ignore unmapped keys when importing a torch .pth "
+                        "(training bookkeeping some releases leave in)")
 
 
 def main(argv=None):

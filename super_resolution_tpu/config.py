@@ -101,6 +101,10 @@ class LossConfig:
     lambda_adv: float = 5e-3     # --lambda_adv
     lambda_pixel: float = 1e-2   # --lambda_pixel
     use_perceptual: bool = True
+    # G-side RaGAN recipe: False = single fake-vs-E[real] direction
+    # (eriklindernoren branch, SURVEY.md §3.1); True = both directions
+    # averaged (xinntao/paper branch, ESRGAN paper §3.2).
+    ragan_g_two_sided: bool = False
     # NOTE on data parallelism: the RaGAN E[D(.)] batch means are always
     # mesh-global here — the train step runs under jit with batch-sharded
     # inputs, so plain jnp.mean is global-batch by construction

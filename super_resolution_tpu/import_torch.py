@@ -32,7 +32,12 @@ from super_resolution_tpu.config import DiscriminatorConfig, GeneratorConfig
 
 def _np(x) -> np.ndarray:
     if hasattr(x, "detach"):     # torch tensor without importing torch here
-        x = x.detach().cpu().numpy()
+        x = x.detach().cpu()
+        # fp16/bf16 checkpoints (common for released EMA weights) load as
+        # fp32 — numpy has no bfloat16, and model params are fp32 anyway
+        if str(x.dtype) in ("torch.bfloat16", "torch.float16"):
+            x = x.float()
+        x = x.numpy()
     return np.asarray(x)
 
 
@@ -50,11 +55,13 @@ def load_pth(path: str) -> Dict[str, np.ndarray]:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    if isinstance(sd, dict) and "params" in sd and all(
-            not hasattr(v, "shape") for v in [sd.get("params")]):
-        sd = sd["params"]        # BasicSR save format {'params': state_dict}
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
+    # BasicSR save formats wrap the state dict: {'params': …},
+    # {'params_ema': …} (preferred when both exist — matches BasicSR's own
+    # load behavior for released EMA checkpoints), or {'state_dict': …}.
+    for wrapper in ("params_ema", "params", "state_dict"):
+        if isinstance(sd, dict) and isinstance(sd.get(wrapper), dict):
+            sd = sd[wrapper]
+            break
     return {k: _np(v) for k, v in sd.items()}
 
 
@@ -116,11 +123,14 @@ def _generator_key_map(style: str, n_blocks: int) -> Dict[str, str]:
 def import_generator(
         state_dict: Dict[str, np.ndarray],
         cfg: GeneratorConfig | None = None,
+        strict: bool = True,
 ) -> Tuple[dict, GeneratorConfig]:
     """Map a torch generator state dict → (flax variables, inferred cfg).
 
     When ``cfg`` is None the architecture (n_blocks, filters, growth,
-    upsampler) is inferred from the checkpoint shapes.
+    upsampler) is inferred from the checkpoint shapes.  ``strict=False``
+    tolerates non-model keys (training bookkeeping like ``step``/EMA decay
+    scalars that some releases leave in the state dict) instead of failing.
     """
     sd = {k: _np(v) for k, v in state_dict.items()}
     style = _detect_generator_style(sd.keys())
@@ -153,9 +163,14 @@ def import_generator(
     upsampler = ("pixelshuffle" if sd[upkey].shape[0] == 4 * filters
                  else "nearest_conv")
 
+    # The eriklindernoren lineage builds every generator LeakyReLU as
+    # ``nn.LeakyReLU()`` — torch's default negative_slope is 0.01, not the
+    # 0.2 the xinntao/BasicSR branch uses.  Importing with the wrong slope
+    # would silently miss the ≤0.1 dB parity target (ADVICE.md round 1).
+    slope = 0.01 if style == "erik" else 0.2
     inferred = GeneratorConfig(channels=channels, filters=filters,
                                growth=growth, n_blocks=n_blocks,
-                               upsampler=upsampler)
+                               upsampler=upsampler, lrelu_slope=slope)
     if cfg is not None:
         for field in ("filters", "growth", "n_blocks", "upsampler"):
             got, want = getattr(inferred, field), getattr(cfg, field)
@@ -178,8 +193,9 @@ def import_generator(
         node[leaf] = {"kernel": _kernel(sd[wk]), "bias": _bias(sd[bk])}
         used.update((wk, bk))
     extra = set(sd) - used
-    if extra:
-        raise ValueError(f"unmapped checkpoint keys: {sorted(extra)[:8]}")
+    if extra and strict:
+        raise ValueError(f"unmapped checkpoint keys: {sorted(extra)[:8]} "
+                         "(pass strict=False to ignore)")
     return {"params": params}, inferred
 
 

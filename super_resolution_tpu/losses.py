@@ -67,6 +67,30 @@ def ragan_generator_loss(real_logits: jnp.ndarray, fake_logits: jnp.ndarray,
     return _bce_with_logits(fake_logits - real_mean, 1.0)
 
 
+def ragan_generator_loss_two_sided(real_logits: jnp.ndarray,
+                                   fake_logits: jnp.ndarray,
+                                   axis_name: Optional[str] = None
+                                   ) -> jnp.ndarray:
+    """Relativistic-average G loss, xinntao/paper recipe (ESRGAN paper
+    §3.2): the average of BOTH directions,
+
+        ½[BCE(D(x_r) − E[D(x_f)], 0) + BCE(D(x_f) − E[D(x_r)], 1)]
+
+    with the real logits detached (they come from D(hr), which G cannot
+    influence) — gradient reaches G through the fake logits in both terms
+    (the first via −E[D(x_f)]).  The single-direction recipe
+    (:func:`ragan_generator_loss`) is the eriklindernoren-branch variant;
+    ``LossConfig.ragan_g_two_sided`` selects between them so both family
+    branches can be training-matched.
+    """
+    real = jax.lax.stop_gradient(real_logits)
+    real_mean = _batch_mean(real, axis_name)
+    fake_mean = _batch_mean(fake_logits, axis_name)
+    loss_real = _bce_with_logits(real - fake_mean, 0.0)
+    loss_fake = _bce_with_logits(fake_logits - real_mean, 1.0)
+    return 0.5 * (loss_real + loss_fake)
+
+
 def ragan_discriminator_loss(real_logits: jnp.ndarray,
                              fake_logits: jnp.ndarray,
                              axis_name: Optional[str] = None) -> jnp.ndarray:

@@ -140,9 +140,11 @@ class DenseBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        if cfg.conv_impl == "pallas_cf":
+        if cfg.conv_impl == "pallas_cf" and x.shape[2] % 8 == 0:
             # channels-first fused kernel (the one that beats XLA on this
-            # chip — BENCHNOTES.md kernel v3b); x arrives as (B, C, H, W)
+            # chip — BENCHNOTES.md kernel v3b); x arrives as (B, C, H, W).
+            # Heights not divisible by 8 fall through to the per-conv lax
+            # path below (run in NCHW — the trunk transposes are hoisted).
             from super_resolution_tpu.ops.pallas.dense_block_cf import (
                 fused_dense_block_cf2,
             )
@@ -165,8 +167,12 @@ class DenseBlock(nn.Module):
 
         impl = "lax" if cfg.conv_impl in ("pallas_fused", "pallas_cf") \
             else cfg.conv_impl
-        feats = x
-        out = x
+        # under pallas_cf the trunk runs NCHW; the per-conv fallback (odd
+        # heights) works in NHWC, so transpose around it
+        cf_fallback = cfg.conv_impl == "pallas_cf"
+        feats = jnp.transpose(x, (0, 2, 3, 1)) if cf_fallback else x
+        res_in = feats
+        out = feats
         for k in range(cfg.n_dense_convs):
             last = k == cfg.n_dense_convs - 1
             width = cfg.filters if last else cfg.growth
@@ -176,7 +182,8 @@ class DenseBlock(nn.Module):
             if not last:
                 out = nn.leaky_relu(out, cfg.lrelu_slope)
                 feats = jnp.concatenate([feats, out], axis=-1)
-        return x + cfg.res_scale * out
+        y = res_in + cfg.res_scale * out
+        return jnp.transpose(y, (0, 3, 1, 2)) if cf_fallback else y
 
 
 class RRDB(nn.Module):

@@ -41,6 +41,7 @@ from super_resolution_tpu.losses import (
     psnr,
     ragan_discriminator_loss,
     ragan_generator_loss,
+    ragan_generator_loss_two_sided,
 )
 from super_resolution_tpu.train.state import (
     GANTrainState,
@@ -136,7 +137,9 @@ def make_gan_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
                             mutable=["batch_stats"])
             pf, _ = d.apply(d_vars, sr, train=True,
                             mutable=["batch_stats"])
-            adv = ragan_generator_loss(pr, pf)
+            g_adv_fn = (ragan_generator_loss_two_sided
+                        if lcfg.ragan_g_two_sided else ragan_generator_loss)
+            adv = g_adv_fn(pr, pf)
             parts = {"loss_pixel": pix, "loss_adv": adv}
             total = lcfg.lambda_adv * adv + lcfg.lambda_pixel * pix
             if vgg is not None:

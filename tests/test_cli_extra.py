@@ -49,6 +49,49 @@ def test_preset_not_clobbered_by_argparse_defaults(monkeypatch):
     assert captured["cfg"].warmup_batches == 7
 
 
+def test_preset_optimizer_fields_survive_build_cfg():
+    """_build_cfg must overlay flags on the preset's optimizer configs,
+    not rebuild them — lr_halve_steps, eps, and a distinct optim_d must
+    survive when no optimizer flag is passed (ADVICE.md round 1)."""
+    import argparse
+    import dataclasses
+
+    import super_resolution_tpu.cli as cli
+    from super_resolution_tpu import config as cfg_mod
+
+    base = cfg_mod.preset("train_gan")
+    custom = dataclasses.replace(
+        base,
+        optim_g=dataclasses.replace(base.optim_g, eps=1e-7,
+                                    lr_halve_steps=(50_000, 100_000)),
+        optim_d=dataclasses.replace(base.optim_d, lr=1e-4))
+
+    def fake_preset(name):
+        return custom
+
+    args = argparse.Namespace(preset="train_gan", lr=None, b1=None, b2=None,
+                              lr_halve_steps=None)
+    orig = cfg_mod.preset
+    try:
+        cfg_mod.preset = fake_preset
+        built = cli._build_cfg(args)
+    finally:
+        cfg_mod.preset = orig
+    assert built.optim_g.lr_halve_steps == (50_000, 100_000)
+    assert built.optim_g.eps == 1e-7
+    assert built.optim_d.lr == 1e-4             # optim_d stays distinct
+    # explicit flag still overrides, preserving the rest
+    args2 = argparse.Namespace(preset="train_gan", lr=3e-4, b1=None,
+                               b2=None, lr_halve_steps=None)
+    try:
+        cfg_mod.preset = fake_preset
+        built2 = cli._build_cfg(args2)
+    finally:
+        cfg_mod.preset = orig
+    assert built2.optim_g.lr == 3e-4
+    assert built2.optim_g.lr_halve_steps == (50_000, 100_000)
+
+
 def test_upscale_directory_mode(env, capsys):
     d, pth, tmp = env
     out_dir = str(tmp / "out")

@@ -15,6 +15,7 @@ from super_resolution_tpu.losses import (
     psnr,
     ragan_discriminator_loss,
     ragan_generator_loss,
+    ragan_generator_loss_two_sided,
 )
 
 
@@ -48,6 +49,66 @@ def test_ragan_losses_match_reference_recipe():
     d = float(ragan_discriminator_loss(jnp.asarray(pr), jnp.asarray(pf)))
     np.testing.assert_allclose(g, g_ref, rtol=1e-5)
     np.testing.assert_allclose(d, d_ref, rtol=1e-5)
+
+
+def test_ragan_generator_two_sided_matches_xinntao_recipe():
+    """xinntao/paper G loss: ½[BCE(pr_detached − mean(pf), 0) +
+    BCE(pf − mean(pr_detached), 1)] (ESRGAN paper §3.2)."""
+    rng = np.random.RandomState(3)
+    pr = rng.randn(8, 4, 4, 1).astype(np.float32)
+    pf = rng.randn(8, 4, 4, 1).astype(np.float32)
+    tpr, tpf = torch.from_numpy(pr), torch.from_numpy(pf)
+    bce = torch.nn.functional.binary_cross_entropy_with_logits
+
+    ref = 0.5 * (bce(tpr - tpf.mean(0, keepdim=True),
+                     torch.zeros_like(tpr)).item()
+                 + bce(tpf - tpr.mean(0, keepdim=True),
+                       torch.ones_like(tpf)).item())
+    got = float(ragan_generator_loss_two_sided(jnp.asarray(pr),
+                                               jnp.asarray(pf)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_ragan_generator_two_sided_gradient_flow():
+    """Real logits are detached; fake logits get gradient through BOTH
+    terms (the first via −E[D(x_f)])."""
+    pr = jnp.asarray(np.random.RandomState(4).randn(4, 2).astype(np.float32))
+    pf = jnp.asarray(np.random.RandomState(5).randn(4, 2).astype(np.float32))
+    g_real = jax.grad(
+        lambda r: ragan_generator_loss_two_sided(r, pf))(pr)
+    g_fake = jax.grad(
+        lambda f: ragan_generator_loss_two_sided(pr, f))(pf)
+    assert float(jnp.abs(g_real).max()) == 0.0
+    assert float(jnp.abs(g_fake).max()) > 0.0
+
+    # torch cross-check of the fake-side gradient
+    tpr = torch.from_numpy(np.asarray(pr))
+    tpf = torch.from_numpy(np.asarray(pf)).requires_grad_(True)
+    bce = torch.nn.functional.binary_cross_entropy_with_logits
+    loss = 0.5 * (bce(tpr - tpf.mean(0, keepdim=True),
+                      torch.zeros_like(tpr))
+                  + bce(tpf - tpr.mean(0, keepdim=True),
+                        torch.ones_like(tpf)))
+    loss.backward()
+    np.testing.assert_allclose(np.asarray(g_fake), tpf.grad.numpy(),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_ragan_two_sided_global_mean_matches_large_batch():
+    from jax.sharding import Mesh
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.RandomState(6)
+    pr = jnp.asarray(rng.randn(16, 3).astype(np.float32))
+    pf = jnp.asarray(rng.randn(16, 3).astype(np.float32))
+    whole = float(ragan_generator_loss_two_sided(pr, pf))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    sharded = shard_map(
+        lambda r, f: jax.lax.pmean(
+            ragan_generator_loss_two_sided(r, f, axis_name="dp"), "dp"),
+        mesh=mesh, in_specs=(P("dp"), P("dp")), out_specs=P())
+    np.testing.assert_allclose(float(sharded(pr, pf)), whole, rtol=1e-5)
 
 
 def test_ragan_generator_loss_stops_gradient_through_real():

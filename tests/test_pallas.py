@@ -197,6 +197,21 @@ def test_training_forces_lax_conv_path():
     assert np.isfinite(float(m["loss_pixel"]))
 
 
+def test_pallas_cf_odd_height_falls_back_to_lax():
+    """Heights not divisible by 8 must not crash the pallas_cf path — the
+    dense block falls back to per-conv lax with identical params
+    (ADVICE.md round 1: cli upscale --conv_impl pallas_cf --tile 100)."""
+    cfg_lax = GeneratorConfig(n_blocks=1, filters=16, growth=8)
+    cfg_pal = GeneratorConfig(n_blocks=1, filters=16, growth=8,
+                              conv_impl="pallas_cf")
+    x = jax.random.normal(jax.random.key(5), (1, 20, 24, 3))  # H=20: 20%8=4
+    v = RRDBNet(cfg_lax).init(jax.random.key(6), x)
+    ref = RRDBNet(cfg_lax).apply(v, x)
+    out = RRDBNet(cfg_pal).apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("impl", ["pallas", "pallas_fused", "pallas_cf"])
 def test_rrdbnet_pallas_impl_matches_lax(impl):
     """Same params, all conv implementations, same output — the param

@@ -148,6 +148,11 @@ def test_importer_alternate_namings(rewrite):
     else:
         sd2 = _rewrite_basicsr_to_erik(sd)
     got_vars, got_cfg = import_generator(sd2)
+    if rewrite == "erik":
+        # the erik lineage's nn.LeakyReLU() default slope is inferred
+        import dataclasses
+        assert got_cfg.lrelu_slope == 0.01
+        got_cfg = dataclasses.replace(got_cfg, lrelu_slope=0.2)
     assert got_cfg == ref_cfg
     import jax
     ref_leaves = jax.tree.leaves_with_path(ref_vars)
@@ -156,6 +161,55 @@ def test_importer_alternate_namings(rewrite):
     for (pa, va), (pb, vb) in zip(ref_leaves, got_leaves):
         assert pa == pb
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_generator_parity_erik_default_slope():
+    """The eriklindernoren branch's generator uses nn.LeakyReLU() (slope
+    0.01); importing its naming must set lrelu_slope=0.01 and match the
+    torch forward (ADVICE.md round 1, medium)."""
+    torch.manual_seed(8)
+    tm = RRDBNetTorch(upsampler="pixelshuffle", slope=0.01, **SMALL).eval()
+    sd = _rewrite_basicsr_to_erik(tm.state_dict())
+    variables, cfg = import_generator(sd)
+    assert cfg.lrelu_slope == 0.01
+    fm = RRDBNet(cfg)
+    x = torch.randn(1, 3, 24, 24)
+    with torch.no_grad():
+        ref = _nhwc(tm(x))
+    out = np.asarray(fm.apply(variables, jnp.asarray(_nhwc(x))))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_importer_params_ema_and_mixed_dtype(tmp_path):
+    """BasicSR {'params_ema': …} wrapping (preferred over 'params') and
+    fp16/bf16 tensors must import (VERDICT round 1, missing #1)."""
+    from super_resolution_tpu.import_torch import load_pth
+
+    torch.manual_seed(9)
+    tm = RRDBNetTorch(**SMALL)
+    sd_ema = {k: v.to(torch.bfloat16) for k, v in tm.state_dict().items()}
+    sd_stale = {k: torch.zeros_like(v) for k, v in tm.state_dict().items()}
+    path = str(tmp_path / "g.pth")
+    torch.save({"params": sd_stale, "params_ema": sd_ema}, path)
+
+    flat = load_pth(path)
+    variables, cfg = import_generator(flat)
+    assert cfg.n_blocks == SMALL["nb"]
+    # params_ema (non-zero) must win over params (zeros)
+    k = np.asarray(variables["params"]["conv_first"]["kernel"])
+    assert np.abs(k).max() > 0
+    assert k.dtype == np.float32
+
+
+def test_importer_strict_false_ignores_extra_keys():
+    torch.manual_seed(10)
+    tm = RRDBNetTorch(**SMALL)
+    sd = dict(tm.state_dict())
+    sd["step"] = torch.tensor(12345)
+    with pytest.raises(ValueError, match="unmapped"):
+        import_generator(sd)
+    variables, cfg = import_generator(sd, strict=False)
+    assert cfg.n_blocks == SMALL["nb"]
 
 
 def test_discriminator_export_roundtrip_through_torch():

@@ -21,14 +21,14 @@ import torch.nn.functional as F
 
 
 class ResidualDenseBlock(nn.Module):
-    def __init__(self, nf=64, gc=32):
+    def __init__(self, nf=64, gc=32, slope=0.2):
         super().__init__()
         self.conv1 = nn.Conv2d(nf, gc, 3, 1, 1)
         self.conv2 = nn.Conv2d(nf + gc, gc, 3, 1, 1)
         self.conv3 = nn.Conv2d(nf + 2 * gc, gc, 3, 1, 1)
         self.conv4 = nn.Conv2d(nf + 3 * gc, gc, 3, 1, 1)
         self.conv5 = nn.Conv2d(nf + 4 * gc, nf, 3, 1, 1)
-        self.lrelu = nn.LeakyReLU(0.2, inplace=False)
+        self.lrelu = nn.LeakyReLU(slope, inplace=False)
 
     def forward(self, x):
         x1 = self.lrelu(self.conv1(x))
@@ -40,11 +40,11 @@ class ResidualDenseBlock(nn.Module):
 
 
 class RRDB(nn.Module):
-    def __init__(self, nf=64, gc=32):
+    def __init__(self, nf=64, gc=32, slope=0.2):
         super().__init__()
-        self.rdb1 = ResidualDenseBlock(nf, gc)
-        self.rdb2 = ResidualDenseBlock(nf, gc)
-        self.rdb3 = ResidualDenseBlock(nf, gc)
+        self.rdb1 = ResidualDenseBlock(nf, gc, slope)
+        self.rdb2 = ResidualDenseBlock(nf, gc, slope)
+        self.rdb3 = ResidualDenseBlock(nf, gc, slope)
 
     def forward(self, x):
         out = self.rdb3(self.rdb2(self.rdb1(x)))
@@ -55,18 +55,21 @@ class RRDBNetTorch(nn.Module):
     """Canonical ×4 generator; ``upsampler`` covers both family variants."""
 
     def __init__(self, in_nc=3, out_nc=3, nf=64, nb=23, gc=32,
-                 upsampler="nearest_conv"):
+                 upsampler="nearest_conv", slope=0.2):
+        """``slope=0.01`` models the eriklindernoren lineage, whose
+        generator LeakyReLUs are all ``nn.LeakyReLU()`` (torch default
+        negative_slope 0.01); the xinntao/BasicSR branch uses 0.2."""
         super().__init__()
         self.upsampler = upsampler
         self.conv_first = nn.Conv2d(in_nc, nf, 3, 1, 1)
-        self.body = nn.Sequential(*[RRDB(nf, gc) for _ in range(nb)])
+        self.body = nn.Sequential(*[RRDB(nf, gc, slope) for _ in range(nb)])
         self.conv_body = nn.Conv2d(nf, nf, 3, 1, 1)
         up_out = nf * 4 if upsampler == "pixelshuffle" else nf
         self.conv_up1 = nn.Conv2d(nf, up_out, 3, 1, 1)
         self.conv_up2 = nn.Conv2d(nf, up_out, 3, 1, 1)
         self.conv_hr = nn.Conv2d(nf, nf, 3, 1, 1)
         self.conv_last = nn.Conv2d(nf, out_nc, 3, 1, 1)
-        self.lrelu = nn.LeakyReLU(0.2, inplace=False)
+        self.lrelu = nn.LeakyReLU(slope, inplace=False)
 
     def _up(self, x, conv):
         if self.upsampler == "nearest_conv":
