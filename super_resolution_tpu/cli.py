@@ -55,6 +55,7 @@ def _build_cfg(args) -> "TrainConfig":
     data = dataclasses.replace(
         cfg.data,
         dataset_dir=ov("dataset_dir", cfg.data.dataset_dir),
+        lr_dir=ov("lr_dir", cfg.data.lr_dir),
         hr_patch=ov("hr_height", cfg.data.hr_patch),
         batch_size=ov("batch_size", cfg.data.batch_size),
         n_workers=ov("n_cpu", cfg.data.n_workers),
@@ -159,6 +160,10 @@ def main(argv=None):
     t = sub.add_parser("train", help="GAN / PSNR-pretrain training")
     _add_common(t)
     t.add_argument("--dataset_dir", required=True)
+    t.add_argument("--lr_dir", default=None,
+                   help="paired-LR directory (files matched to "
+                        "--dataset_dir by stem); omits bicubic LR "
+                        "synthesis")
     t.add_argument("--n_epochs", type=int, default=None)
     t.add_argument("--steps", type=int, default=None,
                    help="total steps override (default epochs*1000)")
@@ -198,6 +203,9 @@ def main(argv=None):
     e = sub.add_parser("eval", help="PSNR/SSIM over a validation dir")
     _add_common(e)
     e.add_argument("--dataset_dir", required=True)
+    e.add_argument("--lr_dir", default=None,
+                   help="paired-LR directory for eval inputs (matched by "
+                        "stem) instead of bicubic synthesis")
     e.add_argument("--checkpoint", required=True)
     e.add_argument("--tile", type=int, default=128)
     e.add_argument("--halo", type=int, default=8)
@@ -260,7 +268,8 @@ def main(argv=None):
                                  tile=args.tile, halo=args.halo,
                                  tile_batch=args.tile_batch,
                                  max_images=args.max_images,
-                                 use_self_ensemble=args.self_ensemble)
+                                 use_self_ensemble=args.self_ensemble,
+                                 lr_dir=args.lr_dir)
         if args.json:
             print(json.dumps(out))
         else:

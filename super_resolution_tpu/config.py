@@ -133,6 +133,11 @@ class DataConfig:
     ImageNet normalization, flip/rotate augmentation."""
 
     dataset_dir: str = "data/train"
+    # Paired mode (SURVEY.md §2.1 "Reads image pairs or crops HR patches
+    # and synthesizes LR"): when set, LR frames are read from this dir
+    # (matched to dataset_dir files by stem) instead of being bicubic-
+    # synthesized — real detector data with pre-existing LR frames.
+    lr_dir: Optional[str] = None
     hr_patch: int = 192          # --hr_height / --hr_width
     scale: int = 4
     batch_size: int = 16         # --batch_size

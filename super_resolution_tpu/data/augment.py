@@ -54,18 +54,32 @@ def augment_batch(key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def preprocess_batch(
-        key: jax.Array, hr_uint8: jnp.ndarray, cfg: DataConfig,
+        key: jax.Array, batch, cfg: DataConfig,
         augment: bool | None = None,
 ) -> Dict[str, jnp.ndarray]:
-    """uint8 HR patches → normalized {lr, hr} training pair, fully
-    on-device (SURVEY.md §3.4 `__getitem__` equivalent, batched)."""
-    x = hr_uint8.astype(jnp.float32) / 255.0
-    if augment if augment is not None else cfg.augment:
-        x = augment_batch(key, x)
-    lr = bicubic_downsample(x, cfg.scale)
+    """uint8 batch → normalized {lr, hr} training pair, fully on-device
+    (SURVEY.md §3.4 `__getitem__` equivalent, batched).
+
+    ``batch`` is either an HR array (B, P, P, 3) — LR is bicubic-
+    synthesized ÷scale — or a paired ``{"hr": …, "lr": …}`` uint8 dict
+    (SURVEY.md §2.1 paired mode), in which case the same per-sample
+    flip/rot decisions apply to both resolutions (identical RNG key →
+    identical Bernoulli draws)."""
+    do_aug = augment if augment is not None else cfg.augment
+    if isinstance(batch, dict):
+        hr = batch["hr"].astype(jnp.float32) / 255.0
+        lr = batch["lr"].astype(jnp.float32) / 255.0
+        if do_aug:
+            hr = augment_batch(key, hr)
+            lr = augment_batch(key, lr)
+    else:
+        hr = batch.astype(jnp.float32) / 255.0
+        if do_aug:
+            hr = augment_batch(key, hr)
+        lr = bicubic_downsample(hr, cfg.scale)
     return {
         "lr": normalize(lr, cfg.normalize_mean, cfg.normalize_std),
-        "hr": normalize(x, cfg.normalize_mean, cfg.normalize_std),
+        "hr": normalize(hr, cfg.normalize_mean, cfg.normalize_std),
     }
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 import threading
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -35,6 +35,58 @@ def list_images(root: str) -> List[str]:
     if not files:
         raise FileNotFoundError(f"no images under {root!r}")
     return sorted(files)
+
+
+def pair_images(hr_dir: str, lr_dir: str) -> List[Tuple[str, str]]:
+    """Match HR and LR files by stem (extension-agnostic) — the paired
+    dataset mode of SURVEY.md §2.1 ("reads image pairs").  Every HR file
+    must have an LR partner; extras in ``lr_dir`` are ignored."""
+    def by_stem(root):
+        out = {}
+        for p in list_images(root):
+            stem = os.path.splitext(os.path.basename(p))[0]
+            out.setdefault(stem, p)
+        return out
+
+    hr, lr = by_stem(hr_dir), by_stem(lr_dir)
+    missing = sorted(set(hr) - set(lr))
+    if missing:
+        raise FileNotFoundError(
+            f"no LR partner in {lr_dir!r} for HR stems {missing[:5]}"
+            + ("…" if len(missing) > 5 else ""))
+    return [(hr[s], lr[s]) for s in sorted(hr)]
+
+
+def _decode(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def _decode_crop_pair(hr_path: str, lr_path: str, patch: int, scale: int,
+                      rng: np.random.Generator):
+    """Aligned random crop from a paired (HR, LR) frame: the LR crop is
+    ``patch//scale`` at (top/scale, left/scale) — positions are drawn on
+    the LR grid so the two crops cover exactly the same field of view."""
+    hr = _decode(hr_path)
+    lr = _decode(lr_path)
+    lp = patch // scale
+    eh, ew = lr.shape[0] * scale, lr.shape[1] * scale
+    if hr.shape[0] != eh or hr.shape[1] != ew:
+        raise ValueError(
+            f"paired size mismatch: HR {hr.shape[:2]} vs LR "
+            f"{lr.shape[:2]}×{scale} for {os.path.basename(hr_path)}")
+    if lr.shape[0] < lp or lr.shape[1] < lp:
+        pad_y, pad_x = max(0, lp - lr.shape[0]), max(0, lp - lr.shape[1])
+        lr = np.pad(lr, ((0, pad_y), (0, pad_x), (0, 0)), mode="reflect")
+        hr = np.pad(hr, ((0, pad_y * scale), (0, pad_x * scale), (0, 0)),
+                    mode="reflect")
+    top = int(rng.integers(0, lr.shape[0] - lp + 1))
+    left = int(rng.integers(0, lr.shape[1] - lp + 1))
+    return (hr[top * scale:(top + lp) * scale,
+               left * scale:(left + lp) * scale],
+            lr[top:top + lp, left:left + lp])
 
 
 def _decode_crop(path: str, patch: int, rng: np.random.Generator) -> np.ndarray:
@@ -70,8 +122,14 @@ class PatchLoader:
     def __init__(self, cfg: DataConfig, files: Optional[Sequence[str]] = None,
                  seed: int = 0, deterministic: bool = True):
         self.cfg = cfg
-        self.files = list(files) if files is not None \
-            else list_images(cfg.dataset_dir)
+        if cfg.lr_dir is not None:
+            # paired mode: self.files holds (hr_path, lr_path) tuples and
+            # batches are {"hr", "lr"} uint8 dicts
+            self.files = list(files) if files is not None \
+                else pair_images(cfg.dataset_dir, cfg.lr_dir)
+        else:
+            self.files = list(files) if files is not None \
+                else list_images(cfg.dataset_dir)
         self.seed = seed
         self.step = 0
         # kept for API compatibility; the stream is now always
@@ -90,9 +148,15 @@ class PatchLoader:
         idx = rng.integers(0, len(self.files), self.cfg.batch_size)
         return [self.files[i] for i in idx]
 
-    def _make_batch(self, step: int) -> np.ndarray:
+    def _make_batch(self, step: int):
         rng = np.random.default_rng((self.seed, step, 1))
         paths = self._sample_paths(step)
+        if self.cfg.lr_dir is not None:
+            pairs = [_decode_crop_pair(hp, lp, self.cfg.hr_patch,
+                                       self.cfg.scale, rng)
+                     for hp, lp in paths]
+            return {"hr": np.stack([h for h, _ in pairs]),
+                    "lr": np.stack([l for _, l in pairs])}
         return np.stack([
             _decode_crop(p, self.cfg.hr_patch, rng) for p in paths])
 

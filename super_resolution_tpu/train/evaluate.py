@@ -36,8 +36,13 @@ def evaluate_directory(
         tile: int = 128, halo: int = 8, tile_batch: int = 4,
         mesh=None, max_images: Optional[int] = None,
         files: Optional[Iterable[str]] = None,
-        infer_fn=None, use_self_ensemble: bool = False) -> Dict[str, float]:
+        infer_fn=None, use_self_ensemble: bool = False,
+        lr_dir: Optional[str] = None) -> Dict[str, float]:
     """Evaluate G over every image in ``val_dir``; returns mean metrics.
+
+    With ``lr_dir``, each HR image's LR input comes from the paired file
+    (matched by stem — SURVEY.md §2.1 paired mode) instead of being
+    bicubic-synthesized.
 
     Pass the already-jitted ``infer_fn`` when calling repeatedly (the
     in-loop eval does) — building a fresh jit closure per call would
@@ -51,6 +56,12 @@ def evaluate_directory(
         g_params = jax.device_put(g_params, replicated(mesh))
     fn = lambda x: infer(g_params, x)   # noqa: E731
 
+    lr_for = None
+    if lr_dir is not None:
+        from super_resolution_tpu.data.pipeline import pair_images
+
+        lr_for = dict(pair_images(val_dir, lr_dir))
+
     paths: List[str] = list(files) if files is not None \
         else list_images(val_dir)
     if max_images:
@@ -59,10 +70,19 @@ def evaluate_directory(
     per_image = []
     for path in paths:
         hr01 = _load_image(path)
-        h, w = (hr01.shape[0] // scale) * scale, \
-               (hr01.shape[1] // scale) * scale
-        hr01 = hr01[:h, :w]
-        lr01 = bicubic_downsample(jnp.asarray(hr01), scale)
+        if lr_for is not None:
+            lr01 = jnp.asarray(_load_image(lr_for[path]))
+            h, w = lr01.shape[0] * scale, lr01.shape[1] * scale
+            if hr01.shape[0] < h or hr01.shape[1] < w:
+                raise ValueError(
+                    f"paired eval: HR {hr01.shape[:2]} smaller than "
+                    f"LR×{scale} {(h, w)} for {path}")
+            hr01 = hr01[:h, :w]
+        else:
+            h, w = (hr01.shape[0] // scale) * scale, \
+                   (hr01.shape[1] // scale) * scale
+            hr01 = hr01[:h, :w]
+            lr01 = bicubic_downsample(jnp.asarray(hr01), scale)
         lrn = normalize(lr01, mean, std)
         upscale = lambda img: tiled_upscale(          # noqa: E731
             fn, img, scale=scale, tile=tile, halo=halo,

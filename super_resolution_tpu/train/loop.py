@@ -46,7 +46,7 @@ from super_resolution_tpu.train.steps import (
 
 
 def _save_sample_grid(cfg: TrainConfig, infer_fn, state: GANTrainState,
-                      hr_uint8: np.ndarray, step: int, out_dir: str):
+                      host_batch, step: int, out_dir: str):
     """Periodic sample dump (the reference's ``save_image`` grid,
     SURVEY.md §3.1 [L5/obs]): rows = bicubic-×4 baseline | SR | HR, one
     column per sample."""
@@ -56,11 +56,13 @@ def _save_sample_grid(cfg: TrainConfig, infer_fn, state: GANTrainState,
     from super_resolution_tpu.ops import bicubic_resize
 
     os.makedirs(out_dir, exist_ok=True)
-    batch = preprocess_batch(jax.random.key(0), hr_uint8[:4], cfg.data,
+    head = jax.tree.map(lambda x: x[:4], host_batch)   # array or paired dict
+    hr_uint8 = head["hr"] if isinstance(head, dict) else head
+    batch = preprocess_batch(jax.random.key(0), head, cfg.data,
                              augment=False)
     sr = infer_fn(state.g_params, batch["lr"])
     sr_u8 = np.asarray(jax.device_get(to_uint8_image(sr, cfg.data)))
-    hr_u8 = np.asarray(jax.device_get(hr_uint8[:4]))
+    hr_u8 = np.asarray(jax.device_get(hr_uint8))
     h = hr_u8.shape[1]
     lr01 = (hr_u8.astype(np.float32) / 255.0)
     bic = bicubic_resize(bicubic_resize(jnp.asarray(lr01), h // cfg.data.scale,
@@ -187,8 +189,9 @@ def train(cfg: TrainConfig,
         step_fn = pretrain_step if in_warmup else gan_step
         state, metrics = step_fn(state, batch)
         logger.update(metrics)
-        # batch holds HR patches, so B*H*W already counts output pixels
-        meter.add(int(np.prod(batch.shape[:3])))
+        # HR patches count output pixels directly (B*H*W)
+        hr_ref = batch["hr"] if isinstance(batch, dict) else batch
+        meter.add(int(np.prod(hr_ref.shape[:3])))
 
         done = step_idx + 1
         if done % log_every == 0 or done == total_steps:
@@ -198,7 +201,8 @@ def train(cfg: TrainConfig,
             meter.reset()
         if sample_dir and done % cfg.sample_interval == 0:
             _save_sample_grid(cfg, infer_fn, state,
-                              np.asarray(jax.device_get(last_host_batch)),
+                              jax.tree.map(np.asarray,
+                                           jax.device_get(last_host_batch)),
                               done, sample_dir)
         if eval_dir and done % (eval_interval or cfg.checkpoint_interval) \
                 == 0:

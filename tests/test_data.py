@@ -147,6 +147,84 @@ def test_threaded_loader_yields_valid_batches(image_dir):
         assert b.shape == (2, 16, 16, 3) and b.dtype == np.uint8
 
 
+@pytest.fixture
+def paired_dirs(tmp_path):
+    """HR = 4x4-block-upsampled LR (kron), so crop alignment is exactly
+    checkable; LR is NOT the bicubic of HR (it's the block mean source)."""
+    hr_dir, lr_dir = tmp_path / "hr", tmp_path / "lr"
+    hr_dir.mkdir(), lr_dir.mkdir()
+    rng = np.random.RandomState(20)
+    for i in range(3):
+        lr = rng.randint(0, 256, (12 + 2 * i, 10 + 2 * i, 3), np.uint8)
+        hr = np.kron(lr, np.ones((4, 4, 1), np.uint8))
+        Image.fromarray(lr).save(lr_dir / f"f{i}.png")
+        Image.fromarray(hr).save(hr_dir / f"f{i}.png")
+    return str(hr_dir), str(lr_dir)
+
+
+def test_pair_images_matches_by_stem(paired_dirs, tmp_path):
+    from super_resolution_tpu.data.pipeline import pair_images
+
+    hr_dir, lr_dir = paired_dirs
+    pairs = pair_images(hr_dir, lr_dir)
+    assert len(pairs) == 3
+    for hp, lp in pairs:
+        import os
+        assert (os.path.splitext(os.path.basename(hp))[0]
+                == os.path.splitext(os.path.basename(lp))[0])
+
+    missing = tmp_path / "empty_lr"
+    missing.mkdir()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(missing / "x.png")
+    with pytest.raises(FileNotFoundError, match="no LR partner"):
+        pair_images(hr_dir, str(missing))
+
+
+def test_paired_loader_crops_are_aligned(paired_dirs):
+    """batch['hr'] must be the exact 4x-block expansion of batch['lr'] —
+    crops cover the same field of view (SURVEY.md §2.1 paired mode)."""
+    hr_dir, lr_dir = paired_dirs
+    cfg = DataConfig(dataset_dir=hr_dir, lr_dir=lr_dir, hr_patch=16,
+                     scale=4, batch_size=2, n_workers=1)
+    batch = next(iter(PatchLoader(cfg, seed=21)))
+    assert batch["hr"].shape == (2, 16, 16, 3)
+    assert batch["lr"].shape == (2, 4, 4, 3)
+    np.testing.assert_array_equal(
+        batch["hr"], np.kron(batch["lr"], np.ones((1, 4, 4, 1), np.uint8)))
+
+
+def test_paired_loader_deterministic_and_multiworker(paired_dirs):
+    hr_dir, lr_dir = paired_dirs
+    mk = lambda n: DataConfig(dataset_dir=hr_dir, lr_dir=lr_dir,
+                              hr_patch=16, scale=4, batch_size=2,
+                              n_workers=n)
+    a = iter(PatchLoader(mk(1), seed=22))
+    b = iter(PatchLoader(mk(3), seed=22))
+    for _ in range(4):
+        ba, bb = next(a), next(b)
+        np.testing.assert_array_equal(ba["hr"], bb["hr"])
+        np.testing.assert_array_equal(ba["lr"], bb["lr"])
+
+
+def test_preprocess_batch_paired_augment_consistency(paired_dirs):
+    """The same flip/rot decisions must hit both resolutions: block-mean
+    of the augmented HR equals the augmented LR exactly (kron pairs)."""
+    from super_resolution_tpu.data.augment import denormalize, \
+        preprocess_batch
+
+    hr_dir, lr_dir = paired_dirs
+    cfg = DataConfig(dataset_dir=hr_dir, lr_dir=lr_dir, hr_patch=16,
+                     scale=4, batch_size=4, n_workers=1)
+    batch = next(iter(PatchLoader(cfg, seed=23)))
+    out = preprocess_batch(jax.random.key(3), batch, cfg, augment=True)
+    hr = np.asarray(denormalize(out["hr"], cfg.normalize_mean,
+                                cfg.normalize_std))
+    lr = np.asarray(denormalize(out["lr"], cfg.normalize_mean,
+                                cfg.normalize_std))
+    blocks = hr.reshape(4, 4, 4, 4, 4, 3).mean((2, 4))
+    np.testing.assert_allclose(blocks, lr, atol=1e-5)
+
+
 def test_threaded_loader_order_matches_single_worker(image_dir):
     """The reorder-buffer pool must yield the bit-identical stream the
     single-worker path yields — multi-worker determinism is what makes

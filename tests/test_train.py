@@ -214,6 +214,63 @@ def test_train_loop_resume_exact_with_4_workers(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def _make_paired_dirs(root, n=3, lr_size=12):
+    from PIL import Image
+
+    hr_dir, lr_dir = root / "hr", root / "lr"
+    hr_dir.mkdir(), lr_dir.mkdir()
+    rng = np.random.RandomState(17)
+    for i in range(n):
+        lr = rng.randint(0, 256, (lr_size, lr_size, 3), np.uint8)
+        # nearest-upsampled HR: deliberately NOT the bicubic inverse, so
+        # paired eval measurably differs from synthesized eval
+        hr = np.kron(lr, np.ones((4, 4, 1), np.uint8))
+        Image.fromarray(lr).save(lr_dir / f"p{i}.png")
+        Image.fromarray(hr).save(hr_dir / f"p{i}.png")
+    return str(hr_dir), str(lr_dir)
+
+
+def test_train_with_paired_lr_hr_data(tmp_path):
+    """Paired LR/HR mode trains end-to-end through the loop (dict batches
+    through prefetch, steps, sampling, checkpointing)."""
+    hr_dir, lr_dir = _make_paired_dirs(tmp_path)
+    cfg = tiny_cfg(checkpoint_dir=str(tmp_path / "ck"),
+                   warmup_batches=10 ** 9, sample_interval=2,
+                   data=DataConfig(dataset_dir=hr_dir, lr_dir=lr_dir,
+                                   hr_patch=32, batch_size=2, n_workers=2))
+    sample_dir = str(tmp_path / "samples")
+    state = train(cfg, total_steps=3, sample_dir=sample_dir,
+                  log_dir=str(tmp_path / "logs"))
+    assert int(state.step) == 3
+    import os
+    assert os.listdir(sample_dir)      # grid saved from a paired batch
+
+    # GAN step with paired batches too
+    cfg_gan = tiny_cfg(checkpoint_dir=str(tmp_path / "ck2"),
+                       warmup_batches=0,
+                       data=DataConfig(dataset_dir=hr_dir, lr_dir=lr_dir,
+                                       hr_patch=32, batch_size=2,
+                                       n_workers=1))
+    state2 = train(cfg_gan, total_steps=2)
+    assert int(state2.step) == 2
+
+
+def test_evaluate_directory_paired_lr(tmp_path):
+    """Paired eval feeds the provided LR (not bicubic synthesis) — the
+    two paths must score differently on non-bicubic pairs."""
+    from super_resolution_tpu.train.evaluate import evaluate_directory
+
+    hr_dir, lr_dir = _make_paired_dirs(tmp_path, n=2, lr_size=12)
+    cfg = tiny_cfg()
+    state = init_state(cfg)
+    kw = dict(tile=12, halo=2, tile_batch=2, max_images=2)
+    paired = evaluate_directory(cfg, state.g_params, hr_dir,
+                                lr_dir=lr_dir, **kw)
+    synth = evaluate_directory(cfg, state.g_params, hr_dir, **kw)
+    assert paired["n_images"] == 2
+    assert paired["psnr_rgb"] != synth["psnr_rgb"]
+
+
 def test_init_g_from_warm_start(tmp_path):
     """The ESRGAN pretrain→GAN recipe: a PSNR checkpoint's generator
     warm-starts a fresh GAN state (different tree: +VGG, fresh opt/D)."""
