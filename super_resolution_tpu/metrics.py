@@ -75,14 +75,39 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray,
 
 class MetricLogger:
     """Windowed scalar averaging + JSONL sink + stdout lines (the
-    reference's tqdm/print surface, SURVEY.md §5.5)."""
+    reference's tqdm/print surface) + tensorboard scalars/images
+    (SURVEY.md §5.5) — event files land in ``<log_dir>/tb``."""
 
     def __init__(self, log_dir: Optional[str] = None):
         self._acc: Dict[str, list] = {}
         self._file = None
+        self._tb = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._file = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
+            except ImportError:             # tensorboard is optional
+                print("[metrics] tensorboardX unavailable — "
+                      "JSONL/stdout only")
+
+    def _tb_scalars(self, step: int, prefix: str,
+                    vals: Dict[str, float]) -> None:
+        if self._tb is None:
+            return
+        for k, v in vals.items():
+            self._tb.add_scalar(f"{prefix}/{k}", v, step)
+
+    def log_image(self, step: int, tag: str, image_hwc_uint8) -> None:
+        """Tensorboard image (e.g. the periodic sample grid); no-op
+        without a tensorboard writer."""
+        if self._tb is None:
+            return
+        self._tb.add_image(tag, np.asarray(image_hwc_uint8), step,
+                           dataformats="HWC")
+        self._tb.flush()
 
     def update(self, metrics: Dict[str, jnp.ndarray]) -> None:
         for k, v in metrics.items():
@@ -102,6 +127,7 @@ class MetricLogger:
             self._file.write(json.dumps({"step": step, "prefix": prefix,
                                          **out}) + "\n")
             self._file.flush()
+        self._tb_scalars(step, prefix, out)
         return out
 
     def log_once(self, step: int, prefix: str,
@@ -116,10 +142,13 @@ class MetricLogger:
             self._file.write(json.dumps({"step": step, "prefix": prefix,
                                          **vals}) + "\n")
             self._file.flush()
+        self._tb_scalars(step, prefix, vals)
 
     def close(self):
         if self._file:
             self._file.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class Throughput:

@@ -46,7 +46,7 @@ from super_resolution_tpu.train.steps import (
 
 
 def _save_sample_grid(cfg: TrainConfig, infer_fn, state: GANTrainState,
-                      host_batch, step: int, out_dir: str):
+                      host_batch, step: int, out_dir: str, logger=None):
     """Periodic sample dump (the reference's ``save_image`` grid,
     SURVEY.md §3.1 [L5/obs]): rows = bicubic-×4 baseline | SR | HR, one
     column per sample."""
@@ -71,8 +71,11 @@ def _save_sample_grid(cfg: TrainConfig, infer_fn, state: GANTrainState,
                         ).astype(np.uint8)
     rows = [np.concatenate(list(imgs), axis=1)
             for imgs in (bic_u8, sr_u8, hr_u8)]
-    Image.fromarray(np.concatenate(rows, axis=0)).save(
+    grid = np.concatenate(rows, axis=0)
+    Image.fromarray(grid).save(
         os.path.join(out_dir, f"step{step:08d}.png"))
+    if logger is not None:
+        logger.log_image(step, "samples/bicubic_sr_hr", grid)
 
 
 def train(cfg: TrainConfig,
@@ -203,7 +206,7 @@ def train(cfg: TrainConfig,
             _save_sample_grid(cfg, infer_fn, state,
                               jax.tree.map(np.asarray,
                                            jax.device_get(last_host_batch)),
-                              done, sample_dir)
+                              done, sample_dir, logger=logger)
         if eval_dir and done % (eval_interval or cfg.checkpoint_interval) \
                 == 0:
             from super_resolution_tpu.train.evaluate import (

@@ -76,6 +76,37 @@ def test_metric_logger_jsonl_and_log_once(tmp_path):
     assert lines[1]["prefix"] == "eval" and lines[1]["val_psnr"] == 30.0
 
 
+def test_metric_logger_writes_tensorboard_events(tmp_path):
+    """Scalars and images must land in <log_dir>/tb event files readable
+    by tensorboard (SURVEY.md §5.5 — the promised clu/tensorboard
+    surface)."""
+    import numpy as np
+
+    lg = MetricLogger(str(tmp_path))
+    lg.update({"loss": jnp.asarray(0.5)})
+    lg.flush(1, "train")
+    lg.log_once(2, "eval", {"val_psnr": 31.0})
+    lg.log_image(3, "samples/grid",
+                 np.zeros((8, 8, 3), np.uint8))
+    lg.close()
+
+    tb_dir = tmp_path / "tb"
+    event_files = list(tb_dir.glob("events.out.tfevents.*"))
+    assert event_files, "no tensorboard event files written"
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(str(tb_dir))
+    acc.Reload()
+    tags = acc.Tags()
+    assert "train/loss" in tags["scalars"]
+    assert "eval/val_psnr" in tags["scalars"]
+    assert "samples/grid" in tags["images"]
+    assert acc.Scalars("train/loss")[0].value == 0.5
+
+
 def test_throughput_meter():
     t = Throughput(n_chips=2)
     t.add(4_000_000)
