@@ -24,6 +24,7 @@ canvas gathers back on the host.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, Optional
 
@@ -63,18 +64,29 @@ def plan_tiles(h: int, w: int, tile: int, halo: int):
     return n_rows, n_cols, pad_h, pad_w, stride
 
 
-def extract_tiles(lr: jnp.ndarray, tile: int, halo: int):
-    """(H, W, C) → (n_tiles, T, T, C) with reflect padding."""
-    h, w, c = lr.shape
-    n_rows, n_cols, pad_h, pad_w, stride = plan_tiles(h, w, tile, halo)
+@functools.partial(jax.jit,
+                   static_argnames=("pad_h", "pad_w", "tile", "halo",
+                                    "n_rows", "n_cols", "stride"))
+def _extract_tiles_jit(lr, *, pad_h, pad_w, tile, halo, n_rows, n_cols,
+                       stride):
     padded = jnp.pad(lr, ((halo, pad_h - halo), (halo, pad_w - halo),
                           (0, 0)), mode="reflect")
-    tiles = []
-    for i in range(n_rows):
-        for j in range(n_cols):
-            tiles.append(jax.lax.dynamic_slice(
-                padded, (i * stride, j * stride, 0), (tile, tile, c)))
-    return jnp.stack(tiles), (n_rows, n_cols, stride)
+    idx = jnp.arange(n_rows * n_cols)
+    oys, oxs = (idx // n_cols) * stride, (idx % n_cols) * stride
+    return jax.vmap(lambda oy, ox: jax.lax.dynamic_slice(
+        padded, (oy, ox, 0), (tile, tile, lr.shape[-1])))(oys, oxs)
+
+
+def extract_tiles(lr: jnp.ndarray, tile: int, halo: int):
+    """(H, W, C) → (n_tiles, T, T, C) with reflect padding — one compiled
+    vmap-of-dynamic_slice per (frame shape, tile plan), not n_tiles
+    eagerly dispatched slices."""
+    h, w, c = lr.shape
+    n_rows, n_cols, pad_h, pad_w, stride = plan_tiles(h, w, tile, halo)
+    tiles = _extract_tiles_jit(lr, pad_h=pad_h, pad_w=pad_w, tile=tile,
+                               halo=halo, n_rows=n_rows, n_cols=n_cols,
+                               stride=stride)
+    return tiles, (n_rows, n_cols, stride)
 
 
 def tiled_upscale(
@@ -118,29 +130,60 @@ def tiled_upscale(
         sr_chunks.append(infer_fn(tiles[start:start + group]))
     sr_tiles = jnp.concatenate(sr_chunks)[:n_tiles]
 
-    window = jnp.asarray(blend_window(tile, halo, scale))
-    weighted = sr_tiles * window          # (n, T·r, T·r, C) — fused on VPU
-
-    # scatter-add into the canvas + weight map, then normalize
-    hr_t, s_hr = tile * scale, stride * scale
-    canvas_h = n_rows * s_hr + 2 * halo * scale
-    canvas_w = n_cols * s_hr + 2 * halo * scale
-    canvas = jnp.zeros((canvas_h, canvas_w, c), jnp.float32)
-    weights = jnp.zeros((canvas_h, canvas_w, 1), jnp.float32)
-    for i in range(n_rows):
-        for j in range(n_cols):
-            idx = i * n_cols + j
-            canvas = jax.lax.dynamic_update_slice(
-                canvas,
-                jax.lax.dynamic_slice(
-                    canvas, (i * s_hr, j * s_hr, 0), (hr_t, hr_t, c))
-                + weighted[idx], (i * s_hr, j * s_hr, 0))
-            weights = jax.lax.dynamic_update_slice(
-                weights,
-                jax.lax.dynamic_slice(
-                    weights, (i * s_hr, j * s_hr, 0), (hr_t, hr_t, 1))
-                + window, (i * s_hr, j * s_hr, 0))
-
-    out = canvas / jnp.maximum(weights, 1e-8)
+    out = _blend_scatter(sr_tiles,
+                         jnp.asarray(blend_window(tile, halo, scale)),
+                         jnp.asarray(_weight_map(n_rows, n_cols, tile,
+                                                 halo, scale)),
+                         n_rows=n_rows, n_cols=n_cols,
+                         s_hr=stride * scale, hr_t=tile * scale)
     off = halo * scale
     return out[off:off + h * scale, off:off + w * scale]
+
+
+def _weight_map(n_rows: int, n_cols: int, tile: int, halo: int,
+                scale: int) -> np.ndarray:
+    """Accumulated blend-weight canvas, computed analytically: the 2-D
+    window is ``outer(w1, w1)``, so the sum of shifted windows over the
+    tile grid separates into an outer product of 1-D shifted-ramp sums —
+    no per-tile accumulation pass needed."""
+    t_hr, s_hr = tile * scale, (tile - 2 * halo) * scale
+    x = np.arange(t_hr, dtype=np.float32) + 0.5
+    ramp_len = 2 * halo * scale
+    if ramp_len > 0:
+        w1 = np.clip(x / ramp_len, 0.0, 1.0)
+        w1 = np.minimum(w1, np.clip((t_hr - x) / ramp_len, 0.0, 1.0))
+    else:
+        w1 = np.ones_like(x)
+
+    def profile(n):
+        p = np.zeros(n * s_hr + (t_hr - s_hr), np.float32)
+        for i in range(n):
+            p[i * s_hr:i * s_hr + t_hr] += w1
+        return p
+
+    return np.outer(profile(n_rows), profile(n_cols))[..., None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_rows", "n_cols", "s_hr", "hr_t"))
+def _blend_scatter(sr_tiles, window, wmap, *, n_rows, n_cols, s_hr, hr_t):
+    """One compiled scatter-blend for the whole frame (SURVEY.md §7 stage
+    6): window-weight every tile, lax.scan a dynamic-update-slice
+    accumulation over the tile grid, divide by the analytic weight map.
+    Replaces ~2·n_tiles eagerly dispatched host ops per frame with a
+    single cached jit call per (frame shape, plan)."""
+    c = sr_tiles.shape[-1]
+    weighted = (sr_tiles * window).astype(jnp.float32)
+    idx = jnp.arange(n_rows * n_cols)
+    oys, oxs = (idx // n_cols) * s_hr, (idx % n_cols) * s_hr
+    canvas = jnp.zeros((n_rows * s_hr + (hr_t - s_hr),
+                        n_cols * s_hr + (hr_t - s_hr), c), jnp.float32)
+
+    def body(canvas, x):
+        t, oy, ox = x
+        patch = jax.lax.dynamic_slice(canvas, (oy, ox, 0), (hr_t, hr_t, c))
+        return jax.lax.dynamic_update_slice(canvas, patch + t,
+                                            (oy, ox, 0)), None
+
+    canvas, _ = jax.lax.scan(body, canvas, (weighted, oys, oxs))
+    return canvas / jnp.maximum(wmap, 1e-8)
