@@ -64,6 +64,11 @@ def _build_cfg(args) -> "TrainConfig":
         cfg.loss,
         lambda_adv=ov("lambda_adv", cfg.loss.lambda_adv),
         lambda_pixel=ov("lambda_pixel", cfg.loss.lambda_pixel),
+        lambda_percep=ov("lambda_percep", cfg.loss.lambda_percep),
+        perceptual_source=ov("perceptual_source",
+                             cfg.loss.perceptual_source),
+        ragan_g_two_sided=cfg.loss.ragan_g_two_sided
+        or bool(getattr(args, "ragan_two_sided", False)),
         use_perceptual=cfg.loss.use_perceptual
         and not getattr(args, "no_perceptual", False),
     )
@@ -177,7 +182,16 @@ def main(argv=None):
     t.add_argument("--warmup_batches", type=int, default=None)
     t.add_argument("--lambda_adv", type=float, default=None)
     t.add_argument("--lambda_pixel", type=float, default=None)
+    t.add_argument("--lambda_percep", type=float, default=None)
     t.add_argument("--no_perceptual", action="store_true")
+    t.add_argument("--perceptual_source", default=None,
+                   choices=("vgg", "d_features"),
+                   help="perceptual feature space: ImageNet VGG-19 "
+                        "(needs --vgg_weights) or discriminator feature "
+                        "matching (no external asset)")
+    t.add_argument("--ragan_two_sided", action="store_true",
+                   help="xinntao/paper G-side RaGAN (both directions "
+                        "averaged) instead of the single-direction recipe")
     t.add_argument("--sample_interval", type=int, default=None)
     t.add_argument("--checkpoint_interval", type=int, default=None)
     t.add_argument("--checkpoint_dir", default=None)

@@ -101,6 +101,12 @@ class LossConfig:
     lambda_adv: float = 5e-3     # --lambda_adv
     lambda_pixel: float = 1e-2   # --lambda_pixel
     use_perceptual: bool = True
+    # Perceptual feature space: "vgg" (ImageNet VGG-19 conv5_4, the paper
+    # recipe — needs converted weights) or "d_features" (discriminator
+    # feature matching, the VGG-free substitute; SURVEY.md §2.2
+    # external-asset note "or the loss re-specced").
+    perceptual_source: str = "vgg"
+    lambda_percep: float = 1.0   # weight of the perceptual term
     # G-side RaGAN recipe: False = single fake-vs-E[real] direction
     # (eriklindernoren branch, SURVEY.md §3.1); True = both directions
     # averaged (xinntao/paper branch, ESRGAN paper §3.2).

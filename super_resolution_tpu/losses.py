@@ -110,3 +110,21 @@ def perceptual_loss(vgg_apply, vgg_params, pred: jnp.ndarray,
     f_pred = vgg_apply(vgg_params, pred)
     f_target = jax.lax.stop_gradient(vgg_apply(vgg_params, target))
     return l1_loss(f_pred, f_target)
+
+
+def feature_matching_loss(feats_pred, feats_target) -> jnp.ndarray:
+    """Discriminator-feature-matching perceptual term: mean per-scale L1
+    between D's intermediate activations on SR vs HR, targets detached —
+    the VGG-free perceptual substitute
+    (``LossConfig.perceptual_source='d_features'``) for environments
+    without ImageNet VGG weights (SURVEY.md §2.2: "or the loss
+    re-specced"; the pix2pixHD/feature-matching recipe).  Normalizing by
+    each scale's detached mean |activation| keeps the scales comparable
+    and the weight roughly architecture-independent."""
+    total = 0.0
+    for fp, ft in zip(feats_pred, feats_target):
+        ft = jax.lax.stop_gradient(ft)
+        denom = jax.lax.stop_gradient(
+            jnp.mean(jnp.abs(ft)) + 1e-6)
+        total = total + l1_loss(fp, ft) / denom
+    return total / len(feats_pred)

@@ -33,9 +33,17 @@ class Discriminator(nn.Module):
     axis_name: Optional[str] = None   # mesh axis for cross-device BN stats
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True,
+                 return_features: bool = False):
+        """``return_features=True`` additionally returns the per-scale
+        post-activation feature maps — the basis of the
+        discriminator-feature-matching perceptual loss
+        (losses.feature_matching_loss), the VGG-free perceptual option
+        when ImageNet weights are unavailable (SURVEY.md §2.2
+        external-asset note: "or the loss re-specced")."""
         cfg = self.cfg
         x = x.astype(self.dtype)
+        features = []
 
         def conv(h, feats, stride, name):
             kshape = (3, 3, h.shape[-1], feats)
@@ -64,6 +72,10 @@ class Discriminator(nn.Module):
             h = conv(h, feats, 2, f"conv{i}_1")
             h = bn(h, f"bn{i}_1")
             h = nn.leaky_relu(h, cfg.lrelu_slope)
+            features.append(h.astype(jnp.float32))
 
         logits = conv(h, 1, 1, "head")
-        return logits.astype(jnp.float32)   # (B, H/16, W/16, 1)
+        logits = logits.astype(jnp.float32)   # (B, H/16, W/16, 1)
+        if return_features:
+            return logits, features
+        return logits

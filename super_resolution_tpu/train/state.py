@@ -52,7 +52,10 @@ def build_models(cfg: TrainConfig):
     dtype = jnp.dtype(cfg.compute_dtype)
     g = RRDBNet(cfg.generator, dtype=dtype)
     d = Discriminator(cfg.discriminator, dtype=dtype)
-    vgg = VGGFeatures(cfg.vgg, dtype=dtype) if cfg.loss.use_perceptual \
+    # the d_features perceptual source matches in D's own feature space —
+    # no VGG tower is built at all
+    vgg = VGGFeatures(cfg.vgg, dtype=dtype) \
+        if cfg.loss.use_perceptual and cfg.loss.perceptual_source == "vgg" \
         else None
     return g, d, vgg
 
@@ -91,9 +94,11 @@ def init_state(cfg: TrainConfig, key: Optional[jax.Array] = None,
                 "to ~1e-5 magnitude through 16 conv layers, so the "
                 "perceptual term is effectively inert and GAN training "
                 "will be dominated by the adversarial loss — convert "
-                "ImageNet weights with tools/convert_vgg.py, or train "
-                "with use_perceptual=False / --no_perceptual and a "
-                "higher lambda_pixel.", flush=True)
+                "ImageNet weights with tools/convert_vgg.py, use "
+                "--perceptual_source d_features (discriminator feature "
+                "matching, no external asset), or train with "
+                "use_perceptual=False / --no_perceptual and a higher "
+                "lambda_pixel.", flush=True)
 
     return GANTrainState(
         step=jnp.zeros((), jnp.int32),

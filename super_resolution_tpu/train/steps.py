@@ -36,6 +36,7 @@ import optax
 from super_resolution_tpu.config import TrainConfig
 from super_resolution_tpu.data.augment import preprocess_batch
 from super_resolution_tpu.losses import (
+    feature_matching_loss,
     l1_loss,
     perceptual_loss,
     psnr,
@@ -128,15 +129,21 @@ def make_gan_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
         d_vars = {"params": state.d_params, "batch_stats": state.d_stats}
 
         # ---- generator update ----
+        dfm = lcfg.use_perceptual and lcfg.perceptual_source == "d_features"
+
         def g_loss_fn(g_params):
             sr = g.apply({"params": g_params}, lr)
             pix = l1_loss(sr, hr)
             # D in train mode (batch stats), stats discarded here — the
-            # reference's G-step forwards also run train-mode BN.
-            pr, _ = d.apply(d_vars, hr, train=True,
-                            mutable=["batch_stats"])
-            pf, _ = d.apply(d_vars, sr, train=True,
-                            mutable=["batch_stats"])
+            # reference's G-step forwards also run train-mode BN.  With
+            # d_features perceptual the same forwards yield the feature
+            # maps — no extra D passes.
+            (pr, fr), _ = d.apply(d_vars, hr, train=True,
+                                  mutable=["batch_stats"],
+                                  return_features=True)
+            (pf, ff), _ = d.apply(d_vars, sr, train=True,
+                                  mutable=["batch_stats"],
+                                  return_features=True)
             g_adv_fn = (ragan_generator_loss_two_sided
                         if lcfg.ragan_g_two_sided else ragan_generator_loss)
             adv = g_adv_fn(pr, pf)
@@ -146,7 +153,11 @@ def make_gan_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
                 perc = perceptual_loss(
                     lambda p, x: vgg.apply(p, x), state.vgg_params, sr, hr)
                 parts["loss_percep"] = perc
-                total = total + perc
+                total = total + lcfg.lambda_percep * perc
+            elif dfm:
+                perc = feature_matching_loss(ff, fr)
+                parts["loss_percep"] = perc
+                total = total + lcfg.lambda_percep * perc
             parts["loss_g"] = total
             return total, (sr, parts)
 

@@ -162,6 +162,25 @@ def test_l1():
     assert float(l1_loss(a, b)) == 1.5
 
 
+def test_feature_matching_loss_math_and_gradient():
+    """Per-scale L1 normalized by the detached target magnitude; target
+    side carries no gradient."""
+    from super_resolution_tpu.losses import feature_matching_loss
+
+    fp = [jnp.full((2, 4, 4, 8), 2.0), jnp.full((2, 2, 2, 16), 1.0)]
+    ft = [jnp.full((2, 4, 4, 8), 4.0), jnp.full((2, 2, 2, 16), 3.0)]
+    # scale 1: L1=2, denom=4 -> 0.5 ; scale 2: L1=2, denom=3 -> 2/3
+    got = float(feature_matching_loss(fp, ft))
+    np.testing.assert_allclose(got, 0.5 * (2 / 4 + 2 / 3), rtol=1e-5)
+
+    g_t = jax.grad(lambda t: feature_matching_loss(
+        fp, [t, ft[1]]))(ft[0])
+    g_p = jax.grad(lambda p: feature_matching_loss(
+        [p, fp[1]], ft))(fp[0])
+    assert float(jnp.abs(g_t).max()) == 0.0
+    assert float(jnp.abs(g_p).max()) > 0.0
+
+
 def test_perceptual_loss_detaches_target():
     calls = []
 
