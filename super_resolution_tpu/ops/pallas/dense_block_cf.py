@@ -258,6 +258,114 @@ def _kernel2(*refs, rows, width, n_convs, growth, filters,
     o_ref[:] = y.reshape(1, y.shape[0], rows, width).astype(o_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# v4: packed-K variant — the v3b per-slab contraction runs K=64/32/32/32/32
+# matmuls whose MXU K-utilization is 25-50% (the systolic array contracts
+# 128 deep); here every feature map lives in ONE growing (C_total,
+# band_rows·W) VMEM scratch, so conv k is a single matmul with
+# K = 64+32k (50-150% of the array depth) — ~2.6× fewer K-limited matmul
+# passes for the canonical widths.  Everything else (taps in M, dy slices,
+# dx lane rolls, boundary masks) is v3b.
+# ---------------------------------------------------------------------------
+
+def _kernel3(*refs, rows, width, n_convs, growth, filters,
+             res_scale, slope, h_img, n_in_blocks, cin):
+    blocks = refs[:n_in_blocks]
+    w_refs = refs[n_in_blocks:n_in_blocks + n_convs]
+    b_refs = refs[n_in_blocks + n_convs:n_in_blocks + 2 * n_convs]
+    o_ref = refs[n_in_blocks + 2 * n_convs]
+    feat_ref = refs[n_in_blocks + 2 * n_convs + 1]
+    band_row0 = pl.program_id(1) * rows
+
+    halo = n_convs
+    band_rows = rows + 2 * halo
+    # assemble the input band into channel rows [0:cin) of the scratch
+    n = 0
+    for b in blocks:
+        for r in range(rows):
+            if n < band_rows:
+                feat_ref[0:cin, n * width:(n + 1) * width] = b[0, :, r, :]
+            n += 1
+    dtype = blocks[0].dtype
+
+    coff = cin
+    for k in range(n_convs):
+        last = k == n_convs - 1
+        cout = filters if last else growth
+        out_rows = rows + 2 * (halo - k - 1)
+        # conv k's (out_rows+2)-row input window starts at band row k;
+        # every feature slab written so far is valid there (slab j covers
+        # rows [j+1, band_rows-(j+1)) ⊇ [k, band_rows-k) for j < k)
+        part = feat_ref[0:coff, k * width:(k + out_rows + 2) * width]
+        out = _conv_cf2([part], [w_refs[k][:]], b_refs[k][0],
+                        out_rows=out_rows, width=width, cout=cout,
+                        slope=slope, act=not last, dtype=dtype,
+                        row0=band_row0 - (halo - k - 1), h_img=h_img)
+        if last:
+            # residual add needs cin == filters (true of any dense block)
+            x_center = feat_ref[0:cin,
+                                halo * width:(halo + rows) * width]
+            y = x_center.astype(jnp.float32) + res_scale * \
+                out.astype(jnp.float32)
+            o_ref[:] = y.reshape(1, filters, rows, width).astype(
+                o_ref.dtype)
+        else:
+            feat_ref[coff:coff + cout,
+                     (k + 1) * width:(k + 1 + out_rows) * width] = out
+            coff += cout
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope"))
+def fused_dense_block_cf3(x: jnp.ndarray,
+                          weights: Sequence[jnp.ndarray],
+                          biases: Sequence[jnp.ndarray],
+                          *, rows: int = 32, res_scale: float = 0.2,
+                          slope: float = 0.2) -> jnp.ndarray:
+    """Packed-K channels-first fused dense block; same contract as
+    :func:`fused_dense_block_cf`."""
+    batch, cin, h, w = x.shape
+    n_convs = len(weights)
+    growth = weights[0].shape[-1]
+    filters = weights[-1].shape[-1]
+    assert h % rows == 0 and rows >= 5, (h, rows)
+    n_bands = h // rows
+    halo = n_convs
+    n_in_blocks = -(-(rows + 2 * halo) // rows)
+
+    pad_bottom = (n_bands + n_in_blocks - 1) * rows - h - halo
+    x_pad = jnp.pad(x, ((0, 0), (0, 0), (halo, pad_bottom), (0, 0)))
+
+    wps = [pack_weights_cf(wk).astype(x.dtype) for wk in weights]
+    b2 = [bk.reshape(1, -1).astype(jnp.float32) for bk in biases]
+
+    kern = functools.partial(
+        _kernel3, rows=rows, width=w, n_convs=n_convs,
+        growth=growth, filters=filters, res_scale=res_scale, slope=slope,
+        h_img=h, n_in_blocks=n_in_blocks, cin=cin)
+
+    in_block = lambda off: pl.BlockSpec(                      # noqa: E731
+        (1, cin, rows, w), lambda b, i, o=off: (b, 0, i + o, 0),
+        memory_space=pltpu.VMEM)
+
+    flops = 2 * batch * h * w * sum(9 * wk.shape[2] * wk.shape[3]
+                                    for wk in weights)
+    band_rows = rows + 2 * halo
+    c_total = cin + (n_convs - 1) * growth
+    return pl.pallas_call(
+        kern,
+        grid=(batch, n_bands),
+        in_specs=[in_block(o) for o in range(n_in_blocks)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_convs),
+        out_specs=pl.BlockSpec((1, filters, rows, w),
+                               lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, filters, h, w), x.dtype),
+        scratch_shapes=[pltpu.VMEM((c_total, band_rows * w), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=x.size * 4, transcendentals=0),
+    )(*([x_pad] * n_in_blocks), *wps, *b2)
+
+
 @functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope"))
 def fused_dense_block_cf2(x: jnp.ndarray,
                           weights: Sequence[jnp.ndarray],

@@ -3,13 +3,16 @@
 
 Synthesizes a structured-texture dataset (piecewise-smooth shapes with
 edges — learnable SR structure, no external data needed), pretrains the
-canonical 23-block RRDBNet with the PSNR/L1 objective, then evaluates the
-trained model against the bicubic-×4 baseline on held-out images.
-Success criterion: trained PSNR > bicubic PSNR (the model has actually
-learned super-resolution, end to end through this framework's data
-pipeline, train loop, checkpointing and tiled inference).
+canonical 23-block RRDBNet with the PSNR/L1 objective, then (with
+--gan_steps) runs the ESRGAN pretrain→GAN recipe using the
+discriminator-feature-matching perceptual loss (no VGG asset needed) and
+compares bicubic / PSNR-model / GAN-model on held-out images: PSNR, SSIM,
+and edge sharpness (mean gradient magnitude — the quantity the
+adversarial phase should raise while L1-only training stays blurry).
+Writes a side-by-side comparison PNG per val image.
 
-Usage: python tools/demo_train_eval.py [--steps 2000] [--out /tmp/srdemo]
+Usage: python tools/demo_train_eval.py [--steps 2000] [--gan_steps 1500]
+       [--out /tmp/srdemo]
 """
 
 import argparse
@@ -59,9 +62,13 @@ def make_dataset(root: str, n_train: int = 100, n_val: int = 10,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--gan_steps", type=int, default=0,
+                    help="GAN phase length (0 = pretrain only)")
     ap.add_argument("--out", default="/tmp/srdemo")
     ap.add_argument("--blocks", type=int, default=23)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--skip_pretrain", action="store_true",
+                    help="reuse the existing pretrain checkpoint")
     args = ap.parse_args()
 
     import dataclasses
@@ -99,39 +106,131 @@ def main():
         sample_interval=max(200, args.steps // 4),
     )
 
-    print(f"[demo] training {args.steps} steps "
-          f"({args.blocks}-block RRDBNet, batch {args.batch} @192²)...")
-    state = train(cfg, total_steps=args.steps,
-                  log_dir=os.path.join(root, "logs"),
-                  sample_dir=os.path.join(root, "samples"),
-                  eval_dir=os.path.join(root, "val"),
-                  eval_interval=max(500, args.steps // 2))
-
-    print("[demo] final eval: trained model vs bicubic baseline")
     val_dir = os.path.join(root, "val")
-    trained = evaluate_directory(cfg, jax.device_get(state.g_params),
-                                 val_dir, tile=96, halo=8)
+    if args.skip_pretrain and os.path.isdir(cfg.checkpoint_dir):
+        print("[demo] skipping pretrain (reusing checkpoint)")
+    else:
+        print(f"[demo] training {args.steps} steps "
+              f"({args.blocks}-block RRDBNet, batch {args.batch} @192²)...")
+        train(cfg, total_steps=args.steps,
+              log_dir=os.path.join(root, "logs"),
+              sample_dir=os.path.join(root, "samples"),
+              eval_dir=val_dir,
+              eval_interval=max(500, args.steps // 2))
 
-    bic_scores = []
+    models = {}          # name -> g_params
+    from super_resolution_tpu.checkpoint import restore_generator_params
+
+    models["psnr"], _ = restore_generator_params(cfg.checkpoint_dir)
+
+    if args.gan_steps > 0:
+        from super_resolution_tpu.config import LossConfig, OptimConfig
+
+        gan_cfg = dataclasses.replace(
+            preset("train_gan"),
+            generator=GeneratorConfig(n_blocks=args.blocks),
+            data=cfg.data,
+            loss=LossConfig(perceptual_source="d_features",
+                            lambda_percep=1.0),
+            optim_g=OptimConfig(lr=1e-4),
+            optim_d=OptimConfig(lr=1e-4),
+            warmup_batches=0,
+            checkpoint_dir=os.path.join(root, "ck_gan"),
+            checkpoint_interval=args.gan_steps,
+            sample_interval=max(200, args.gan_steps // 4),
+        )
+        print(f"[demo] GAN phase: {args.gan_steps} steps "
+              "(RaGAN + D-feature-matching perceptual, warm-started "
+              "from the PSNR checkpoint)...")
+        gan_state = train(gan_cfg, total_steps=args.gan_steps,
+                          init_g_from=cfg.checkpoint_dir,
+                          log_dir=os.path.join(root, "logs_gan"),
+                          sample_dir=os.path.join(root, "samples_gan"),
+                          eval_dir=val_dir,
+                          eval_interval=max(250, args.gan_steps // 4))
+        models["gan"] = jax.device_get(gan_state.g_params)
+
+    # ---- comparison: bicubic vs every trained model ----
+    def sharpness(img01):
+        """Mean gradient magnitude — the edge-energy statistic the GAN
+        phase should raise relative to the L1-blurry PSNR model."""
+        gy = jnp.abs(jnp.diff(img01, axis=0)).mean()
+        gx = jnp.abs(jnp.diff(img01, axis=1)).mean()
+        return float(gy + gx)
+
+    print("[demo] final eval on held-out images")
+    rows = {}
+    bic_scores, hr_sharp = [], []
     for path in list_images(val_dir):
         hr01 = _load_image(path)
         h, w = (hr01.shape[0] // 4) * 4, (hr01.shape[1] // 4) * 4
         hr01 = jnp.asarray(hr01[:h, :w])
         lr01 = bicubic_downsample(hr01, 4)
         up = jnp.clip(bicubic_resize(lr01, h, w), 0.0, 1.0)
-        bic_scores.append({k: float(v)
-                           for k, v in eval_metrics(up, hr01).items()})
-    bicubic = {k: float(np.mean([s[k] for s in bic_scores]))
-               for k in bic_scores[0]}
+        m = {k: float(v) for k, v in eval_metrics(up, hr01).items()}
+        m["sharpness"] = sharpness(up)
+        bic_scores.append(m)
+        hr_sharp.append(sharpness(hr01))
+    rows["bicubic"] = {k: float(np.mean([s[k] for s in bic_scores]))
+                       for k in bic_scores[0]}
 
-    print(f"[demo] bicubic : " + " ".join(
-        f"{k}={v:.3f}" for k, v in sorted(bicubic.items())))
-    print(f"[demo] trained : " + " ".join(
-        f"{k}={v:.3f}" for k, v in sorted(trained.items())
-        if isinstance(v, float)))
-    delta = trained["psnr_rgb"] - bicubic["psnr_rgb"]
-    print(f"[demo] PSNR gain over bicubic: {delta:+.3f} dB "
-          f"({'SUCCESS' if delta > 0 else 'NOT YET'})")
+    from super_resolution_tpu.data import normalize, denormalize
+    from super_resolution_tpu.parallel import tiled_upscale
+    from super_resolution_tpu.train.steps import make_infer_fn
+
+    sr_images = {}
+    for name, params in models.items():
+        scores = []
+        infer = make_infer_fn(cfg)
+        mean, std = cfg.data.normalize_mean, cfg.data.normalize_std
+        for path in list_images(val_dir):
+            hr01 = _load_image(path)
+            h, w = (hr01.shape[0] // 4) * 4, (hr01.shape[1] // 4) * 4
+            hr01 = jnp.asarray(hr01[:h, :w])
+            lrn = normalize(bicubic_downsample(hr01, 4), mean, std)
+            srn = tiled_upscale(lambda x: infer(params, x), lrn,
+                                tile=96, halo=8)
+            sr01 = jnp.clip(denormalize(srn, mean, std), 0.0, 1.0)
+            m = {k: float(v) for k, v in eval_metrics(sr01, hr01).items()}
+            m["sharpness"] = sharpness(sr01)
+            scores.append(m)
+            sr_images.setdefault(path, {})[name] = np.asarray(sr01)
+        rows[name] = {k: float(np.mean([s[k] for s in scores]))
+                      for k in scores[0]}
+
+    print(f"[demo] HR ground-truth sharpness: {np.mean(hr_sharp):.4f}")
+    for name, m in rows.items():
+        print(f"[demo] {name:8s}: " + " ".join(
+            f"{k}={v:.4f}" for k, v in sorted(m.items())))
+    if "psnr" in rows:
+        delta = rows["psnr"]["psnr_rgb"] - rows["bicubic"]["psnr_rgb"]
+        print(f"[demo] PSNR-model gain over bicubic: {delta:+.3f} dB "
+              f"({'SUCCESS' if delta > 0 else 'NOT YET'})")
+    if "gan" in rows:
+        ds = rows["gan"]["sharpness"] - rows["psnr"]["sharpness"]
+        print(f"[demo] GAN sharpness gain over PSNR model: {ds:+.4f} "
+              f"(HR={np.mean(hr_sharp):.4f}; "
+              f"{'SHARPENED' if ds > 0 else 'NOT SHARPER'})")
+
+    # side-by-side comparison PNGs: bicubic | psnr | (gan) | HR crop
+    from PIL import Image as PILImage
+
+    cmp_dir = os.path.join(root, "compare")
+    os.makedirs(cmp_dir, exist_ok=True)
+    for path in list(sr_images)[:4]:
+        hr01 = _load_image(path)
+        h, w = (hr01.shape[0] // 4) * 4, (hr01.shape[1] // 4) * 4
+        hr01 = jnp.asarray(hr01[:h, :w])
+        up = np.asarray(jnp.clip(bicubic_resize(
+            bicubic_downsample(hr01, 4), h, w), 0.0, 1.0))
+        panels = [up] + [sr_images[path][n] for n in models] \
+            + [np.asarray(hr01)]
+        ch, cw = min(256, h), min(256, w)
+        strip = np.concatenate([p[:ch, :cw] for p in panels], axis=1)
+        PILImage.fromarray((strip * 255).astype(np.uint8)).save(
+            os.path.join(cmp_dir, os.path.basename(path)))
+    print(f"[demo] comparison strips (bicubic|{'|'.join(models)}|HR) "
+          f"in {cmp_dir}")
 
 
 if __name__ == "__main__":
