@@ -141,19 +141,18 @@ class DenseBlock(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         if cfg.conv_impl == "pallas_cf" and x.shape[2] % 8 == 0:
-            # channels-first fused kernel (the one that beats XLA on this
-            # chip — BENCHNOTES.md kernel v3b); x arrives as (B, C, H, W).
-            # Heights not divisible by 8 fall through to the per-conv lax
-            # path below (run in NCHW — the trunk transposes are hoisted).
-            from super_resolution_tpu.ops.pallas.dense_block_cf import (
-                fused_dense_block_cf2,
-            )
+            # channels-first fused kernel, packed-K v4 with a custom VJP
+            # (BENCHNOTES.md kernel v3b/v4) — differentiable, so training
+            # uses it too; x arrives as (B, C, H, W).  Heights not
+            # divisible by 8 fall through to the per-conv lax path below.
+            from super_resolution_tpu.ops.pallas.dense_block_cf_vjp \
+                import dense_block_cf_train
 
             ws, bs = self._declare_params(x.shape[1])
-            rows = 16 if x.shape[2] % 16 == 0 else 8
-            return fused_dense_block_cf2(
-                x.astype(self.dtype), ws, bs, rows=rows,
-                res_scale=cfg.res_scale, slope=cfg.lrelu_slope)
+            rows = next(r for r in (32, 16, 8) if x.shape[2] % r == 0)
+            return dense_block_cf_train(
+                x.astype(self.dtype), ws, bs, rows,
+                cfg.res_scale, cfg.lrelu_slope)
         if cfg.conv_impl == "pallas_fused" and x.shape[1] % 8 == 0:
             from super_resolution_tpu.ops.pallas.dense_block import (
                 fused_dense_block,

@@ -269,12 +269,15 @@ def _kernel2(*refs, rows, width, n_convs, growth, filters,
 # ---------------------------------------------------------------------------
 
 def _kernel3(*refs, rows, width, n_convs, growth, filters,
-             res_scale, slope, h_img, n_in_blocks, cin):
+             res_scale, slope, h_img, n_in_blocks, cin, save_acts=False):
     blocks = refs[:n_in_blocks]
     w_refs = refs[n_in_blocks:n_in_blocks + n_convs]
     b_refs = refs[n_in_blocks + n_convs:n_in_blocks + 2 * n_convs]
     o_ref = refs[n_in_blocks + 2 * n_convs]
-    feat_ref = refs[n_in_blocks + 2 * n_convs + 1]
+    act_refs = refs[n_in_blocks + 2 * n_convs + 1:
+                    n_in_blocks + 2 * n_convs + n_convs] if save_acts \
+        else ()
+    feat_ref = refs[-1]
     band_row0 = pl.program_id(1) * rows
 
     halo = n_convs
@@ -312,17 +315,26 @@ def _kernel3(*refs, rows, width, n_convs, growth, filters,
         else:
             feat_ref[coff:coff + cout,
                      (k + 1) * width:(k + 1 + out_rows) * width] = out
+            if save_acts:
+                # central rows of this activation (the true full-image
+                # values) — the custom-VJP residuals
+                c0 = (halo - (k + 1)) * width
+                act_refs[k][:] = out[:, c0:c0 + rows * width].reshape(
+                    1, cout, rows, width)
             coff += cout
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope"))
+@functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope",
+                                             "save_acts"))
 def fused_dense_block_cf3(x: jnp.ndarray,
                           weights: Sequence[jnp.ndarray],
                           biases: Sequence[jnp.ndarray],
                           *, rows: int = 32, res_scale: float = 0.2,
-                          slope: float = 0.2) -> jnp.ndarray:
+                          slope: float = 0.2, save_acts: bool = False):
     """Packed-K channels-first fused dense block; same contract as
-    :func:`fused_dense_block_cf`."""
+    :func:`fused_dense_block_cf`.  With ``save_acts`` also returns the
+    intermediate activations ``[a1..a4]`` ((B, growth, H, W) each) — the
+    residuals of the custom VJP (dense_block_cf_vjp.py)."""
     batch, cin, h, w = x.shape
     n_convs = len(weights)
     growth = weights[0].shape[-1]
@@ -341,7 +353,7 @@ def fused_dense_block_cf3(x: jnp.ndarray,
     kern = functools.partial(
         _kernel3, rows=rows, width=w, n_convs=n_convs,
         growth=growth, filters=filters, res_scale=res_scale, slope=slope,
-        h_img=h, n_in_blocks=n_in_blocks, cin=cin)
+        h_img=h, n_in_blocks=n_in_blocks, cin=cin, save_acts=save_acts)
 
     in_block = lambda off: pl.BlockSpec(                      # noqa: E731
         (1, cin, rows, w), lambda b, i, o=off: (b, 0, i + o, 0),
@@ -351,19 +363,31 @@ def fused_dense_block_cf3(x: jnp.ndarray,
                                     for wk in weights)
     band_rows = rows + 2 * halo
     c_total = cin + (n_convs - 1) * growth
-    return pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((batch, filters, h, w), x.dtype)
+    out_spec = pl.BlockSpec((1, filters, rows, w), lambda b, i: (b, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shapes, out_specs = out_shape, out_spec
+    if save_acts:
+        act_shape = jax.ShapeDtypeStruct((batch, growth, h, w), x.dtype)
+        act_spec = pl.BlockSpec((1, growth, rows, w),
+                                lambda b, i: (b, 0, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shapes = [out_shape] + [act_shape] * (n_convs - 1)
+        out_specs = [out_spec] + [act_spec] * (n_convs - 1)
+    res = pl.pallas_call(
         kern,
         grid=(batch, n_bands),
         in_specs=[in_block(o) for o in range(n_in_blocks)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_convs),
-        out_specs=pl.BlockSpec((1, filters, rows, w),
-                               lambda b, i: (b, 0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, filters, h, w), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((c_total, band_rows * w), x.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size * 4, transcendentals=0),
     )(*([x_pad] * n_in_blocks), *wps, *b2)
+    if save_acts:
+        return res[0], list(res[1:])
+    return res
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope"))

@@ -56,17 +56,23 @@ StepFn = Callable[[GANTrainState, jnp.ndarray],
 
 
 def _training_cfg(cfg: TrainConfig) -> TrainConfig:
-    """Training always differentiates through the lax conv path — the
-    Pallas kernels (inference fast path) define no custom VJP.  The param
-    tree is implementation-agnostic, so checkpoints swap freely between
-    paths."""
+    """Pick the conv implementation training differentiates through.
+
+    ``pallas_cf`` is fully differentiable (custom Pallas backward,
+    ops/pallas/dense_block_cf_vjp.py) and trains as-is on a single chip.
+    The experimental ``pallas``/``pallas_fused`` paths define no VJP and
+    fall back to lax, as does any kernel path under data parallelism —
+    a pallas_call is opaque to the SPMD partitioner, so batch-sharded
+    inputs would be gathered to one device.  The param tree is
+    implementation-agnostic either way, so checkpoints swap freely."""
     import dataclasses
 
-    if cfg.generator.conv_impl != "lax":
-        return dataclasses.replace(
-            cfg, generator=dataclasses.replace(cfg.generator,
-                                               conv_impl="lax"))
-    return cfg
+    impl = cfg.generator.conv_impl
+    if impl == "lax" or (impl == "pallas_cf" and cfg.data_parallel <= 1):
+        return cfg
+    return dataclasses.replace(
+        cfg, generator=dataclasses.replace(cfg.generator,
+                                           conv_impl="lax"))
 
 
 def _prep(state: GANTrainState, hr_uint8: jnp.ndarray, cfg: TrainConfig):

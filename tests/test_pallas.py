@@ -175,9 +175,84 @@ def test_fused_dense_block_cf2_matches_lax(shape, rows):
                                atol=2e-5, rtol=1e-4)
 
 
-def test_training_forces_lax_conv_path():
-    """Pallas conv impls have no VJP — train steps silently fall back to
-    the lax path (identical params) so grads always work."""
+@pytest.mark.parametrize("shape,rows", [
+    ((1, 16, 40, 32), 8),
+    ((2, 32, 64, 32), 16),
+    ((1, 64, 48, 32), 32),
+])
+def test_fused_dense_block_cf3_matches_lax(shape, rows):
+    """Kernel v4 (packed-K): one full-K matmul per conv instead of
+    per-slab K=32 contractions."""
+    from super_resolution_tpu.ops.pallas.dense_block_cf import (
+        fused_dense_block_cf3,
+    )
+
+    nf, gc = shape[-1], 16
+    ws, bs = [], []
+    cin = nf
+    for k in range(5):
+        cout = nf if k == 4 else gc
+        ws.append(jax.random.normal(jax.random.key(10 + k),
+                                    (3, 3, cin, cout), jnp.float32) * 0.05)
+        bs.append(jax.random.normal(jax.random.key(20 + k), (cout,),
+                                    jnp.float32) * 0.1)
+        cin += gc
+    x = jax.random.normal(jax.random.key(0), shape, jnp.float32)
+    ref = _ref_dense_block(x, ws, bs)
+    with pltpu.force_tpu_interpret_mode():
+        ycf = fused_dense_block_cf3(jnp.transpose(x, (0, 3, 1, 2)), ws,
+                                    bs, rows=rows)
+    out = jnp.transpose(ycf, (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_dense_block_cf_custom_vjp_matches_lax_grads():
+    """jax.grad through the fused block (Pallas fwd + Pallas bwd) must
+    match lax-path grads to fp32 tolerance — the round-1 VERDICT item 2
+    'Done' criterion."""
+    from super_resolution_tpu.ops.pallas.dense_block_cf_vjp import (
+        dense_block_cf_train,
+    )
+
+    nf, gc, rows = 16, 8, 8
+    ws, bs = [], []
+    cin = nf
+    for k in range(5):
+        cout = nf if k == 4 else gc
+        ws.append(jax.random.normal(jax.random.key(30 + k),
+                                    (3, 3, cin, cout), jnp.float32) * 0.1)
+        bs.append(jax.random.normal(jax.random.key(40 + k), (cout,),
+                                    jnp.float32) * 0.1)
+        cin += gc
+    x = jax.random.normal(jax.random.key(1), (2, nf, 24, 16), jnp.float32)
+    tgt = jax.random.normal(jax.random.key(2), x.shape, jnp.float32)
+
+    def loss_ref(x, ws, bs):
+        y = _ref_dense_block(jnp.transpose(x, (0, 2, 3, 1)), ws, bs)
+        return jnp.sum((jnp.transpose(y, (0, 3, 1, 2)) - tgt) ** 2)
+
+    def loss_ker(x, ws, bs):
+        return jnp.sum((dense_block_cf_train(x, ws, bs, rows, 0.2, 0.2)
+                        - tgt) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, ws, bs)
+    with pltpu.force_tpu_interpret_mode():
+        gk = jax.grad(loss_ker, argnums=(0, 1, 2))(x, ws, bs)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                               atol=2e-4, rtol=1e-4)
+    for a, b in zip(gk[1], gr[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
+    for a, b in zip(gk[2], gr[2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
+
+
+def test_training_through_pallas_cf_kernel():
+    """conv_impl='pallas_cf' now trains THROUGH the fused kernel (custom
+    VJP) on a single chip: one pretrain step matches the lax-path step
+    to fp32 tolerance, params included."""
     import sys
     sys.path.insert(0, "tests")
     from test_train import tiny_cfg
@@ -185,16 +260,30 @@ def test_training_forces_lax_conv_path():
     import dataclasses
 
     from super_resolution_tpu.train import init_state, make_pretrain_step
+    from super_resolution_tpu.train.steps import _training_cfg
     from super_resolution_tpu.data import SyntheticPatches
 
     base = tiny_cfg()
     cfg = dataclasses.replace(
         base, generator=dataclasses.replace(base.generator,
                                             conv_impl="pallas_cf"))
-    state = init_state(cfg)
+    # single-chip: the kernel path survives _training_cfg now
+    assert _training_cfg(cfg).generator.conv_impl == "pallas_cf"
+    # under DP the kernel is opaque to the partitioner -> lax
+    assert _training_cfg(dataclasses.replace(
+        cfg, data_parallel=8)).generator.conv_impl == "lax"
+
     batch = jnp.asarray(next(iter(SyntheticPatches(cfg.data, seed=0))))
-    _, m = make_pretrain_step(cfg)(state, batch)
-    assert np.isfinite(float(m["loss_pixel"]))
+    state = init_state(cfg)
+    with pltpu.force_tpu_interpret_mode():
+        state_k, mk = make_pretrain_step(cfg)(state, batch)
+    state_l, ml = make_pretrain_step(base)(init_state(base), batch)
+    np.testing.assert_allclose(float(mk["loss_pixel"]),
+                               float(ml["loss_pixel"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_k.g_params),
+                    jax.tree.leaves(state_l.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
 
 
 def test_pallas_cf_odd_height_falls_back_to_lax():
