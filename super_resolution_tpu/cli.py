@@ -145,7 +145,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--dtype", default=None,
                    choices=("bfloat16", "float32"))
     p.add_argument("--conv_impl", default=None,
-                   choices=("lax", "pallas", "pallas_fused", "pallas_cf"),
+                   choices=("lax", "pallas", "pallas_fused", "pallas_cf",
+                            "pallas_cf_tail"),
                    help="generator conv implementation; pallas_cf is the "
                         "fastest measured inference path on TPU "
                         "(BENCHNOTES.md); training always uses lax")

@@ -86,9 +86,21 @@ class Conv3x3(nn.Module):
         raise ValueError(f"unknown conv impl {self.impl!r}")
 
 
+def _pick_rows(h: int, w: int, cap: int = 4096):
+    """Band height for the channels-first Pallas kernels: the largest
+    rows ∈ {32, 16, 8} dividing ``h`` with ``rows·w ≤ cap`` lanes — the
+    kernels' fp32 accumulators and VMEM scratch scale with rows·w, and
+    32·512 lanes already blows the 16 MB scoped-VMEM limit (measured:
+    20.8 MB at hr_conv on a 512² plane).  None → fall back to lax."""
+    for r in (32, 16, 8):
+        if h % r == 0 and r * w <= cap:
+            return r
+    return None
+
+
 def _conv3x3(x, features: int, *, name: str, scheme: str, dtype,
              impl: str = "lax"):
-    if impl in ("pallas_fused", "pallas_cf"):
+    if impl in ("pallas_fused", "pallas_cf", "pallas_cf_tail"):
         impl = "lax"   # fusion applies to dense blocks; stem/trunk stay lax
     return Conv3x3(features, scheme, dtype, impl, name=name)(x)
 
@@ -140,18 +152,20 @@ class DenseBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        if cfg.conv_impl == "pallas_cf" and x.shape[2] % 8 == 0:
-            # channels-first fused kernel, packed-K v4 with a custom VJP
-            # (BENCHNOTES.md kernel v3b/v4) — differentiable, so training
-            # uses it too; x arrives as (B, C, H, W).  Heights not
-            # divisible by 8 fall through to the per-conv lax path below.
+        rows_cf = _pick_rows(x.shape[2], x.shape[3]) \
+            if cfg.conv_impl in ("pallas_cf", "pallas_cf_tail") else None
+        if rows_cf is not None:
+            # channels-first fused kernel, v5 (dy-in-K/dx-in-M) with a
+            # custom Mosaic VJP (BENCHNOTES.md) — differentiable, so
+            # training uses it too; x arrives as (B, C, H, W).  Heights
+            # not divisible by 8 (or planes too wide for the VMEM budget)
+            # fall through to the per-conv lax path below.
             from super_resolution_tpu.ops.pallas.dense_block_cf_vjp \
                 import dense_block_cf_train
 
             ws, bs = self._declare_params(x.shape[1])
-            rows = next(r for r in (32, 16, 8) if x.shape[2] % r == 0)
             return dense_block_cf_train(
-                x.astype(self.dtype), ws, bs, rows,
+                x.astype(self.dtype), ws, bs, rows_cf,
                 cfg.res_scale, cfg.lrelu_slope)
         if cfg.conv_impl == "pallas_fused" and x.shape[1] % 8 == 0:
             from super_resolution_tpu.ops.pallas.dense_block import (
@@ -164,11 +178,12 @@ class DenseBlock(nn.Module):
                 x.astype(self.dtype), ws, bs, rows=rows,
                 res_scale=cfg.res_scale, slope=cfg.lrelu_slope)
 
-        impl = "lax" if cfg.conv_impl in ("pallas_fused", "pallas_cf") \
+        impl = "lax" if cfg.conv_impl in ("pallas_fused", "pallas_cf",
+                                          "pallas_cf_tail") \
             else cfg.conv_impl
         # under pallas_cf the trunk runs NCHW; the per-conv fallback (odd
         # heights) works in NHWC, so transpose around it
-        cf_fallback = cfg.conv_impl == "pallas_cf"
+        cf_fallback = cfg.conv_impl in ("pallas_cf", "pallas_cf_tail")
         feats = jnp.transpose(x, (0, 2, 3, 1)) if cf_fallback else x
         res_in = feats
         out = feats
@@ -205,20 +220,70 @@ class RRDBNet(nn.Module):
     cfg: GeneratorConfig = GeneratorConfig()
     dtype: Any = jnp.float32
 
+    def _conv_cf(self, x, features, *, name, act):
+        """Tail conv on NCHW input.  Measured verdict (BENCHNOTES.md
+        round 2): XLA's conv emitter WINS on the post-upsample planes —
+        the Pallas single-conv kernel (ops/pallas/conv_cf.py) needs
+        rows=8 bands at 512² to fit VMEM, and 512 tiny grid steps lose
+        ~4 ms/batch vs XLA — so ``pallas_cf`` uses lax here (NCHW, fused
+        LeakyReLU epilogue) and only the experimental ``pallas_cf_tail``
+        takes the kernel.  Same {kernel, bias} param tree either way."""
+        from super_resolution_tpu.ops.pallas.conv_cf import (
+            conv3x3_cf,
+            _lax_ref,
+        )
+
+        kern, bias = _ConvParams((3, 3, x.shape[1], features),
+                                 self.cfg.init, name=name)()
+        x = x.astype(self.dtype)
+        kern = kern.astype(self.dtype)
+        rows = (_pick_rows(x.shape[2], x.shape[3])
+                if self.cfg.conv_impl == "pallas_cf_tail" else None)
+        if rows is None:
+            return _lax_ref(x, kern, bias, act, self.cfg.lrelu_slope)
+        return conv3x3_cf(x, kern, bias, rows, act, self.cfg.lrelu_slope)
+
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
         x = x.astype(self.dtype)
         fea = _conv3x3(x, cfg.filters, name="conv_first", scheme=cfg.init,
                        dtype=self.dtype, impl=cfg.conv_impl)
-        # the channels-first fused kernel runs the whole trunk in NCHW —
-        # two transposes total, hoisted out of the 23-block loop
-        cf = cfg.conv_impl == "pallas_cf"
-        trunk = jnp.transpose(fea, (0, 3, 1, 2)) if cf else fea
+        # the channels-first fused kernels run everything from the stem to
+        # hr_conv in NCHW — two transposes total, hoisted out of the
+        # 23-block trunk AND the upsample tail (odd heights fall back to
+        # lax per-op inside DenseBlock/_conv_cf, still in NCHW)
+        cf = cfg.conv_impl in ("pallas_cf", "pallas_cf_tail")
+        if cf:
+            fea = jnp.transpose(fea, (0, 3, 1, 2))
+        trunk = fea
         for b in range(cfg.n_blocks):
             trunk = RRDB(cfg, self.dtype, name=f"block{b}")(trunk)
         if cf:
-            trunk = jnp.transpose(trunk, (0, 2, 3, 1))
+            fea = fea + self._conv_cf(trunk, cfg.filters,
+                                      name="trunk_conv", act=False)
+            for u in range(cfg.n_upsample):
+                if cfg.upsampler == "nearest_conv":
+                    fea = jnp.repeat(jnp.repeat(fea, 2, axis=2), 2, axis=3)
+                    fea = self._conv_cf(fea, cfg.filters,
+                                        name=f"upconv{u + 1}", act=True)
+                elif cfg.upsampler == "pixelshuffle":
+                    fea = self._conv_cf(fea, cfg.filters * 4,
+                                        name=f"upconv{u + 1}", act=True)
+                    b_, crr, h_, w_ = fea.shape
+                    c_ = crr // 4
+                    fea = fea.reshape(b_, c_, 2, 2, h_, w_) \
+                        .transpose(0, 1, 4, 2, 5, 3) \
+                        .reshape(b_, c_, h_ * 2, w_ * 2)
+                else:
+                    raise ValueError(f"unknown upsampler {cfg.upsampler!r}")
+            fea = self._conv_cf(fea, cfg.filters, name="hr_conv", act=True)
+            fea = jnp.transpose(fea, (0, 2, 3, 1))
+            out = _conv3x3(fea, cfg.channels, name="conv_last",
+                           scheme=cfg.init, dtype=self.dtype,
+                           impl=cfg.conv_impl)
+            return out.astype(jnp.float32)
+
         trunk = _conv3x3(trunk, cfg.filters, name="trunk_conv",
                          scheme=cfg.init, dtype=self.dtype,
                          impl=cfg.conv_impl)

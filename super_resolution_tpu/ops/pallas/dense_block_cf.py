@@ -390,6 +390,168 @@ def fused_dense_block_cf3(x: jnp.ndarray,
     return res
 
 
+# ---------------------------------------------------------------------------
+# v5: dy-in-K, dx-in-M — attacks the two dominant non-MXU costs measured in
+# v3b/v4 (BENCHNOTES.md):
+#
+#  (a) tap shift-adds: v4 packs all 9 taps into the matmul M dim, so after
+#      the contraction the VPU reads 9F·win fp32 values to do the 9-way
+#      shift-add.  Here the three *dy* (row) taps are folded into the
+#      contraction itself as THREE accumulated matmuls over W-aligned lane
+#      windows of the same feature scratch (a dy shift is a free aligned
+#      slice in the flattened (C, rows·W) layout) — only the three *dx*
+#      (column) taps stay packed in M (M = 3F), so the VPU shift-add
+#      traffic drops 3× while the MXU pass count is unchanged (M=288→96
+#      and 576→192 both sit at 75% M-tile utilization).
+#  (b) band assembly: v4 flattens the input band with per-row lane stores
+#      (band_rows ≈ 26–42 small (C, W) copies per band); here the caller
+#      flattens x to (B, C, Hp·W) once in XLA (a free reshape) and the
+#      grid delivers (C, rows·W) lane-blocks, so assembly is
+#      ceil(band_rows/rows) big aligned stores.
+# ---------------------------------------------------------------------------
+
+
+# weight packing is pack_weights_cf unchanged — row (dy·3+dx)·F+f is
+# dy-major, so the per-dy slab Wp[dy·3F:(dy+1)·3F] packs the three dx taps
+# in M and the contraction accumulates over dy.
+
+
+def _kernel5(*refs, rows, width, n_convs, growth, filters,
+             res_scale, slope, h_img, n_in_blocks, cin, save_acts=False):
+    blocks = refs[:n_in_blocks]
+    w_refs = refs[n_in_blocks:n_in_blocks + n_convs]
+    b_refs = refs[n_in_blocks + n_convs:n_in_blocks + 2 * n_convs]
+    o_ref = refs[n_in_blocks + 2 * n_convs]
+    act_refs = refs[n_in_blocks + 2 * n_convs + 1:
+                    n_in_blocks + 2 * n_convs + n_convs] if save_acts \
+        else ()
+    feat_ref = refs[-1]
+    band_row0 = pl.program_id(1) * rows
+
+    halo = n_convs
+    # assemble the input band: n_in_blocks aligned (cin, rows·W) stores
+    for j, b in enumerate(blocks):
+        feat_ref[0:cin, j * rows * width:(j + 1) * rows * width] = b[0]
+    dtype = blocks[0].dtype
+
+    # hoisted per-kernel masks (conv 0 has the widest output window)
+    m_max = (rows + 2 * (halo - 1)) * width
+    lane_max = jax.lax.broadcasted_iota(jnp.int32, (1, m_max), 1)
+    col_max = lane_max % width
+
+    coff = cin
+    for k in range(n_convs):
+        last = k == n_convs - 1
+        cout = filters if last else growth
+        out_rows = rows + 2 * (halo - k - 1)
+        m_out = out_rows * width
+        row0 = band_row0 - (halo - k - 1)
+
+        # dy taps: three accumulated matmuls over W-aligned lane windows
+        acc = None
+        for dy in range(3):
+            part = feat_ref[0:coff,
+                            (k + dy) * width:(k + dy) * width + m_out]
+            wdy = w_refs[k][dy * 3 * cout:(dy + 1) * 3 * cout, 0:coff]
+            d = jnp.dot(wdy, part, preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d          # (3F, m_out)
+
+        # dx taps: three shift-adds (lane rolls + edge-column masks)
+        col = col_max[:, :m_out]
+        mid = acc[cout:2 * cout]
+        left = jnp.where(col > 0, pltpu.roll(acc[0:cout], 1, 1), 0.0)
+        right = jnp.where(col < width - 1,
+                          pltpu.roll(acc[2 * cout:3 * cout],
+                                     m_out - 1, 1), 0.0)
+        out = left + mid + right + b_refs[k][0][:, None]
+        if not last:
+            out = jnp.where(out >= 0, out, slope * out)
+        g_row = (lane_max[:, :m_out] // width) + row0
+        out = jnp.where((g_row >= 0) & (g_row < h_img), out, 0.0)
+        out = out.astype(dtype)
+
+        if last:
+            x_center = feat_ref[0:cin,
+                                halo * width:(halo + rows) * width]
+            y = x_center.astype(jnp.float32) + res_scale * \
+                out.astype(jnp.float32)
+            o_ref[:] = y[None].astype(o_ref.dtype)
+        else:
+            feat_ref[coff:coff + cout,
+                     (k + 1) * width:(k + 1 + out_rows) * width] = out
+            if save_acts:
+                c0 = (halo - (k + 1)) * width
+                act_refs[k][:] = out[:, c0:c0 + rows * width][None]
+            coff += cout
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope",
+                                             "save_acts"))
+def fused_dense_block_cf5(x: jnp.ndarray,
+                          weights: Sequence[jnp.ndarray],
+                          biases: Sequence[jnp.ndarray],
+                          *, rows: int = 32, res_scale: float = 0.2,
+                          slope: float = 0.2, save_acts: bool = False):
+    """dy-in-K / dx-in-M fused dense block; same contract as
+    :func:`fused_dense_block_cf`.  With ``save_acts`` also returns the
+    intermediate activations (custom-VJP residuals)."""
+    batch, cin, h, w = x.shape
+    n_convs = len(weights)
+    growth = weights[0].shape[-1]
+    filters = weights[-1].shape[-1]
+    assert h % rows == 0 and rows >= 5, (h, rows)
+    n_bands = h // rows
+    halo = n_convs
+    n_in_blocks = -(-(rows + 2 * halo) // rows)
+
+    pad_bottom = (n_bands + n_in_blocks - 1) * rows - h - halo
+    x_flat = jnp.pad(x, ((0, 0), (0, 0), (halo, pad_bottom), (0, 0))) \
+        .reshape(batch, cin, -1)
+
+    wps = [pack_weights_cf(wk).astype(x.dtype) for wk in weights]
+    b2 = [bk.reshape(1, -1).astype(jnp.float32) for bk in biases]
+
+    kern = functools.partial(
+        _kernel5, rows=rows, width=w, n_convs=n_convs,
+        growth=growth, filters=filters, res_scale=res_scale, slope=slope,
+        h_img=h, n_in_blocks=n_in_blocks, cin=cin, save_acts=save_acts)
+
+    in_block = lambda off: pl.BlockSpec(                      # noqa: E731
+        (1, cin, rows * w), lambda b, i, o=off: (b, 0, i + o),
+        memory_space=pltpu.VMEM)
+
+    flops = 2 * batch * h * w * sum(9 * wk.shape[2] * wk.shape[3]
+                                    for wk in weights)
+    c_total = cin + (n_convs - 1) * growth
+    out_shape = jax.ShapeDtypeStruct((batch, filters, h * w), x.dtype)
+    out_spec = pl.BlockSpec((1, filters, rows * w), lambda b, i: (b, 0, i),
+                            memory_space=pltpu.VMEM)
+    out_shapes, out_specs = out_shape, out_spec
+    if save_acts:
+        act_shape = jax.ShapeDtypeStruct((batch, growth, h * w), x.dtype)
+        act_spec = pl.BlockSpec((1, growth, rows * w),
+                                lambda b, i: (b, 0, i),
+                                memory_space=pltpu.VMEM)
+        out_shapes = [out_shape] + [act_shape] * (n_convs - 1)
+        out_specs = [out_spec] + [act_spec] * (n_convs - 1)
+    res = pl.pallas_call(
+        kern,
+        grid=(batch, n_bands),
+        in_specs=[in_block(o) for o in range(n_in_blocks)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_convs),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((c_total, n_in_blocks * rows * w),
+                                   x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=x.size * 4, transcendentals=0),
+    )(*([x_flat] * n_in_blocks), *wps, *b2)
+    unflat = lambda a: a.reshape(batch, a.shape[1], h, w)     # noqa: E731
+    if save_acts:
+        return unflat(res[0]), [unflat(a) for a in res[1:]]
+    return unflat(res)
+
+
 @functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope"))
 def fused_dense_block_cf2(x: jnp.ndarray,
                           weights: Sequence[jnp.ndarray],

@@ -43,6 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from super_resolution_tpu.ops.pallas.dense_block_cf import (
     fused_dense_block_cf3,
+    fused_dense_block_cf5,
     pack_weights_cf,
 )
 
@@ -256,13 +257,16 @@ def fused_dense_block_cf3_bwd(x, acts, weights, g, *, rows: int,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def dense_block_cf_train(x, weights, biases, rows, res_scale, slope):
     """Differentiable fused dense block: Pallas forward AND backward.
-    ``weights``/``biases`` are lists; grads flow to all three inputs."""
-    return fused_dense_block_cf3(x, list(weights), list(biases), rows=rows,
+    ``weights``/``biases`` are lists; grads flow to all three inputs.
+    Forward is kernel v5 (dy-in-K/dx-in-M — the fastest measured variant,
+    BENCHNOTES.md); the backward kernel consumes only the saved
+    (x, weights, activations) residuals, so it is forward-agnostic."""
+    return fused_dense_block_cf5(x, list(weights), list(biases), rows=rows,
                                  res_scale=res_scale, slope=slope)
 
 
 def _train_fwd(x, weights, biases, rows, res_scale, slope):
-    y, acts = fused_dense_block_cf3(x, list(weights), list(biases),
+    y, acts = fused_dense_block_cf5(x, list(weights), list(biases),
                                     rows=rows, res_scale=res_scale,
                                     slope=slope, save_acts=True)
     return y, (x, tuple(weights), tuple(acts))

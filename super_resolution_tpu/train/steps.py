@@ -68,7 +68,8 @@ def _training_cfg(cfg: TrainConfig) -> TrainConfig:
     import dataclasses
 
     impl = cfg.generator.conv_impl
-    if impl == "lax" or (impl == "pallas_cf" and cfg.data_parallel <= 1):
+    if impl == "lax" or (impl in ("pallas_cf", "pallas_cf_tail")
+                         and cfg.data_parallel <= 1):
         return cfg
     return dataclasses.replace(
         cfg, generator=dataclasses.replace(cfg.generator,

@@ -207,6 +207,132 @@ def test_fused_dense_block_cf3_matches_lax(shape, rows):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("shape,rows", [
+    ((1, 16, 40, 32), 8),
+    ((2, 32, 64, 32), 16),
+    ((1, 64, 48, 32), 32),
+])
+def test_fused_dense_block_cf5_matches_lax(shape, rows):
+    """Kernel v5 (dy-in-K / dx-in-M): the three dy taps fold into
+    K-accumulated matmuls over aligned lane windows, leaving only three
+    dx shift-adds on the VPU; band assembly is big aligned lane-block
+    stores of the XLA-flattened input."""
+    from super_resolution_tpu.ops.pallas.dense_block_cf import (
+        fused_dense_block_cf5,
+    )
+
+    nf, gc = shape[-1], 16
+    ws, bs = [], []
+    cin = nf
+    for k in range(5):
+        cout = nf if k == 4 else gc
+        ws.append(jax.random.normal(jax.random.key(10 + k),
+                                    (3, 3, cin, cout), jnp.float32) * 0.05)
+        bs.append(jax.random.normal(jax.random.key(20 + k), (cout,),
+                                    jnp.float32) * 0.1)
+        cin += gc
+    x = jax.random.normal(jax.random.key(0), shape, jnp.float32)
+    ref = _ref_dense_block(x, ws, bs)
+    with pltpu.force_tpu_interpret_mode():
+        ycf = fused_dense_block_cf5(jnp.transpose(x, (0, 3, 1, 2)), ws,
+                                    bs, rows=rows)
+    out = jnp.transpose(ycf, (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_dense_block_cf5_save_acts():
+    """The save_acts activations (custom-VJP residuals) must equal the
+    lax path's intermediate LeakyReLU outputs."""
+    from super_resolution_tpu.ops.pallas.dense_block_cf import (
+        fused_dense_block_cf5,
+    )
+
+    nf, gc, rows = 16, 8, 8
+    ws, bs = [], []
+    cin = nf
+    for k in range(5):
+        cout = nf if k == 4 else gc
+        ws.append(jax.random.normal(jax.random.key(50 + k),
+                                    (3, 3, cin, cout), jnp.float32) * 0.1)
+        bs.append(jax.random.normal(jax.random.key(60 + k), (cout,),
+                                    jnp.float32) * 0.1)
+        cin += gc
+    x = jax.random.normal(jax.random.key(7), (1, nf, 24, 16), jnp.float32)
+
+    # lax intermediates
+    feats = jnp.transpose(x, (0, 2, 3, 1))
+    acts_ref = []
+    for k, (w, b) in enumerate(zip(ws, bs)):
+        y = jax.lax.conv_general_dilated(
+            feats, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        if k < 4:
+            y = jnp.where(y >= 0, y, 0.2 * y)
+            feats = jnp.concatenate([feats, y], -1)
+            acts_ref.append(jnp.transpose(y, (0, 3, 1, 2)))
+
+    with pltpu.force_tpu_interpret_mode():
+        _, acts = fused_dense_block_cf5(x, ws, bs, rows=rows,
+                                        save_acts=True)
+    for a, r in zip(acts, acts_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape,cout,rows,act", [
+    ((1, 16, 32, 16), 16, 8, True),
+    ((2, 8, 24, 24), 16, 8, False),
+    ((1, 64, 40, 96), 32, 8, True),     # non-128 width
+])
+def test_conv3x3_cf_matches_lax(shape, cout, rows, act):
+    """Single-conv channels-first kernel (ops/pallas/conv_cf.py) — the
+    tail convs of the pallas_cf model path (trunk_conv, upconvs,
+    hr_conv)."""
+    from super_resolution_tpu.ops.pallas.conv_cf import (
+        conv3x3_cf,
+        _lax_ref,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, shape[1], cout).astype(np.float32)
+                    * 0.1)
+    b = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+    ref = _lax_ref(x, w, b, act, 0.2)
+    with pltpu.force_tpu_interpret_mode():
+        got = conv3x3_cf(x, w, b, rows, act, 0.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_conv3x3_cf_grads_match_lax():
+    """The custom VJP delegates to the lax conv's VJP — grads must be
+    exactly the lax-path grads."""
+    from super_resolution_tpu.ops.pallas.conv_cf import (
+        conv3x3_cf,
+        _lax_ref,
+    )
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 8, 16, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(16).astype(np.float32) * 0.1)
+
+    def loss_k(x, w, b):
+        return jnp.sum(conv3x3_cf(x, w, b, 8, True, 0.2) ** 2)
+
+    def loss_r(x, w, b):
+        return jnp.sum(_lax_ref(x, w, b, True, 0.2) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-4, rtol=1e-4)
+
+
 def test_dense_block_cf_custom_vjp_matches_lax_grads():
     """jax.grad through the fused block (Pallas fwd + Pallas bwd) must
     match lax-path grads to fp32 tolerance — the round-1 VERDICT item 2
@@ -288,15 +414,19 @@ def test_training_through_pallas_cf_kernel():
 
 def test_pallas_cf_odd_height_falls_back_to_lax():
     """Heights not divisible by 8 must not crash the pallas_cf path — the
-    dense block falls back to per-conv lax with identical params
-    (ADVICE.md round 1: cli upscale --conv_impl pallas_cf --tile 100)."""
+    dense block AND the tail convs fall back to per-conv lax with
+    identical params (ADVICE.md round 1: cli upscale --conv_impl
+    pallas_cf --tile 100).  Interpret mode is needed because the
+    ×2/×4-upsampled heights (40, 80) ARE divisible by 8, so the tail
+    upconv/hr convs legitimately take the Pallas kernel."""
     cfg_lax = GeneratorConfig(n_blocks=1, filters=16, growth=8)
     cfg_pal = GeneratorConfig(n_blocks=1, filters=16, growth=8,
                               conv_impl="pallas_cf")
     x = jax.random.normal(jax.random.key(5), (1, 20, 24, 3))  # H=20: 20%8=4
     v = RRDBNet(cfg_lax).init(jax.random.key(6), x)
     ref = RRDBNet(cfg_lax).apply(v, x)
-    out = RRDBNet(cfg_pal).apply(v, x)
+    with pltpu.force_tpu_interpret_mode():
+        out = RRDBNet(cfg_pal).apply(v, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5, rtol=1e-4)
 

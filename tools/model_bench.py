@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Full-model A/B bench over kernel-variant combinations.
+
+Monkeypatches the variant seams (which fused dense-block kernel the
+custom-VJP forward uses; whether the tail convs take the Pallas kernel
+or lax) and times the canonical 23-block ×4 model with the bench.py
+chained-scan methodology.  Diagnostic tool — product behavior is
+configured only via GeneratorConfig.conv_impl.
+
+Usage: python tools/model_bench.py [--variants v5+ktail,v5+laxtail,...]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax                                                    # noqa: E402
+import jax.numpy as jnp                                       # noqa: E402
+
+TILE, BATCH, ITERS = 128, 8, 10
+TUNNEL_FLOOR_S = 0.025
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants",
+                    default="lax,v4+laxtail,v5+laxtail,v4+ktail,v5+ktail")
+    args = ap.parse_args()
+
+    from super_resolution_tpu.config import GeneratorConfig
+    from super_resolution_tpu.models import RRDBNet
+    from super_resolution_tpu.ops.pallas import conv_cf, dense_block_cf
+    from super_resolution_tpu.ops.pallas import dense_block_cf_vjp as vjp
+
+    params = jax.jit(RRDBNet(GeneratorConfig(),
+                             dtype=jnp.bfloat16).init)(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    x = jax.random.normal(jax.random.key(1), (BATCH, TILE, TILE, 3),
+                          jnp.float32)
+
+    orig_fwd = vjp.fused_dense_block_cf5
+    orig_conv = conv_cf.conv3x3_cf
+
+    def lax_tail_conv(x, w, b, rows, act, slope):
+        return conv_cf._lax_ref(x, w, b, act, slope)
+
+    for variant in args.variants.split(","):
+        impl = "lax" if variant == "lax" else "pallas_cf"
+        if "+" in variant:
+            block, tail = variant.split("+")
+            vjp.fused_dense_block_cf5 = {
+                "v4": dense_block_cf.fused_dense_block_cf3,
+                "v5": dense_block_cf.fused_dense_block_cf5}[block]
+            conv_cf.conv3x3_cf = (orig_conv if tail == "ktail"
+                                  else lax_tail_conv)
+        model = RRDBNet(GeneratorConfig(conv_impl=impl),
+                        dtype=jnp.bfloat16)
+
+        def chained(params, x):
+            def body(c, _):
+                y = model.apply(params, x * (1.0 + c))
+                return jnp.sum(y.astype(jnp.float32)) * 1e-12, None
+            return jax.lax.scan(body, 0.0, None, length=ITERS)[0]
+
+        f = jax.jit(chained)
+        try:
+            t0 = time.perf_counter()
+            jax.device_get(f(params, x))
+            compile_s = time.perf_counter() - t0
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.device_get(f(params, x))
+                best = min(best, time.perf_counter() - t0)
+            per_batch = max(best - TUNNEL_FLOOR_S, 1e-9) / ITERS
+            mp_s = BATCH * (TILE * 4) ** 2 / 1e6 / per_batch
+            print(f"{variant:12s}: {per_batch * 1e3:6.1f} ms/batch  "
+                  f"{mp_s:6.2f} MP/s  (compile {compile_s:.0f}s)",
+                  flush=True)
+        except Exception as e:
+            print(f"{variant:12s}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+        finally:
+            vjp.fused_dense_block_cf5 = orig_fwd
+            conv_cf.conv3x3_cf = orig_conv
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""End-to-end large-frame tiled-inference benchmark (BASELINE.json
+config 4: 2K detector frames via overlap-blend tiling).
+
+Times the FULL production path on-device — reflect-pad + jitted tile
+extraction → batched generator forwards (one compiled shape) → jitted
+scatter-blend → analytic weight-map divide — and syncs by fetching one
+scalar (the SR mean): through the axon tunnel `block_until_ready` does
+not block and bulk fetches run at ~15 MB/s (BENCHNOTES.md), so the 8K
+output must stay on device.
+
+Usage: python tools/tiled_bench.py [--frame 2048] [--tile 128] [--halo 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax                                                    # noqa: E402
+import jax.numpy as jnp                                       # noqa: E402
+import numpy as np                                            # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frame", type=int, default=2048,
+                    help="LR frame size (square)")
+    ap.add_argument("--tile", type=int, default=128)
+    ap.add_argument("--halo", type=int, default=8)
+    ap.add_argument("--tile_batch", type=int, default=8)
+    ap.add_argument("--conv_impl", default="pallas_cf")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from super_resolution_tpu.config import GeneratorConfig
+    from super_resolution_tpu.models import RRDBNet
+    from super_resolution_tpu.parallel import tiled_upscale
+
+    cfg = GeneratorConfig(conv_impl=args.conv_impl)
+    model = RRDBNet(cfg, dtype=jnp.bfloat16)
+    params = jax.jit(RRDBNet(GeneratorConfig(),
+                             dtype=jnp.bfloat16).init)(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    infer = jax.jit(lambda p, x: model.apply(p, x))
+
+    rng = np.random.RandomState(0)
+    lr = jax.device_put(jnp.asarray(
+        rng.rand(args.frame, args.frame, 3).astype(np.float32)))
+
+    def run():
+        sr = tiled_upscale(lambda x: infer(params, x), lr, scale=cfg.scale,
+                           tile=args.tile, halo=args.halo,
+                           tile_batch=args.tile_batch)
+        return float(jax.device_get(jnp.mean(sr)))   # scalar sync
+
+    t0 = time.perf_counter()
+    run()
+    print(f"[tiled] compile+first: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+
+    out_mp = (args.frame * cfg.scale) ** 2 / 1e6
+    print(f"[tiled] {args.frame}x{args.frame} LR -> "
+          f"{args.frame * cfg.scale}² SR ({args.conv_impl}, "
+          f"tile={args.tile} halo={args.halo} batch={args.tile_batch}): "
+          f"{best:.3f} s/frame = {out_mp / best:.2f} MP/s/chip")
+
+
+if __name__ == "__main__":
+    main()
