@@ -5,11 +5,22 @@ parallelism.  A 2K+ detector frame (BASELINE.json config 4) cannot be one
 conv graph per frame size — XLA would recompile per shape and HBM would
 hold the whole activation plane.  Instead:
 
-    pad frame (reflect, halo h) → extract T×T LR tiles on a stride
-    S = T − 2h grid → batch tiles through the jitted generator (ONE
-    compiled shape) → multiply by a 2-D blending window (linear ramp over
-    the 2h overlap — complementary ramps sum to exactly 1) → scatter-add
-    into the ×r canvas → divide by the accumulated weight map.
+    clamp a T×T tile grid INSIDE the frame (stride S = T − 2h, the last
+    row/column shifted inward so every tile is a true sub-window) →
+    batch tiles through the jitted generator (ONE compiled shape) →
+    multiply by a 2-D blending window (linear ramp over the overlaps) →
+    scatter-add into the ×r canvas → divide by the accumulated weight
+    map computed for the actual tile offsets.
+
+Clamping (not padding) is what makes tiling *parity-exact at frame
+borders*: an output pixel on the frame edge is produced only by tiles
+whose boundary coincides with the frame edge there, so the generator's
+own SAME zero-padding applies exactly as in whole-frame inference.
+(Reflect-padding the frame — the usual shortcut, and round 1's choice —
+leaks reflected context into every conv layer near the border and
+deviated from the whole-frame result by up to 7/255 uint8 on the
+canonical model; found by the round-2 verify drive.)  Frames that fit in
+a single tile run whole — exact by construction.
 
 The halo plays the role ring-attention's block exchange plays for
 sequences: each tile carries enough neighbor context that the blend is
@@ -26,7 +37,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 
@@ -35,58 +46,86 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def blend_window(tile: int, halo: int, scale: int) -> np.ndarray:
-    """(T·r, T·r, 1) HR-resolution weight window: 1 in the core, linear
-    ramp 0→1 across the 2h overlap; complementary ramps of adjacent tiles
-    sum to exactly 1."""
-    t_hr = tile * scale
-    ramp_len = 2 * halo * scale
-    x = np.arange(t_hr, dtype=np.float32) + 0.5
-    if ramp_len > 0:
-        w1 = np.clip(x / ramp_len, 0.0, 1.0)
-        w1 = np.minimum(w1, np.clip((t_hr - x) / ramp_len, 0.0, 1.0))
-    else:
-        w1 = np.ones_like(x)
-    return (np.outer(w1, w1))[..., None]
+def _axis_offsets(n: int, tile: int, stride: int) -> tuple:
+    """Clamped 1-D tile offsets covering [0, n): multiples of ``stride``
+    with the last tile shifted inward to end exactly at ``n``."""
+    if n <= tile:
+        return (0,)
+    k = math.ceil((n - tile) / stride) + 1
+    return tuple(min(i * stride, n - tile) for i in range(k))
 
 
 def plan_tiles(h: int, w: int, tile: int, halo: int):
-    """Tile grid over an H×W LR frame: returns (n_rows, n_cols, pad_h,
-    pad_w, stride).  Padding = halo on the leading edge + rounding up to a
-    full stride grid on the trailing edge."""
+    """Tile plan over an H×W LR frame: ((tile_h, tile_w), oys, oxs) —
+    per-axis tile sizes (clamped to the frame) and clamped offsets.
+    Every (oy, ox, tile_h, tile_w) window lies inside the frame."""
     stride = tile - 2 * halo
     if stride <= 0:
         raise ValueError(f"tile {tile} must exceed 2*halo ({2 * halo})")
-    n_rows = max(1, math.ceil(h / stride))
-    n_cols = max(1, math.ceil(w / stride))
-    pad_h = n_rows * stride + 2 * halo - h
-    pad_w = n_cols * stride + 2 * halo - w
-    return n_rows, n_cols, pad_h, pad_w, stride
+    tile_h, tile_w = min(tile, h), min(tile, w)
+    return ((tile_h, tile_w),
+            _axis_offsets(h, tile_h, stride),
+            _axis_offsets(w, tile_w, stride))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("pad_h", "pad_w", "tile", "halo",
-                                    "n_rows", "n_cols", "stride"))
-def _extract_tiles_jit(lr, *, pad_h, pad_w, tile, halo, n_rows, n_cols,
-                       stride):
-    padded = jnp.pad(lr, ((halo, pad_h - halo), (halo, pad_w - halo),
-                          (0, 0)), mode="reflect")
-    idx = jnp.arange(n_rows * n_cols)
-    oys, oxs = (idx // n_cols) * stride, (idx % n_cols) * stride
+def _ramp(t_hr: int, ramp_len: int) -> np.ndarray:
+    x = np.arange(t_hr, dtype=np.float32) + 0.5
+    if ramp_len > 0:
+        w1 = np.clip(x / ramp_len, 0.0, 1.0)
+        return np.minimum(w1, np.clip((t_hr - x) / ramp_len, 0.0, 1.0))
+    return np.ones_like(x)
+
+
+def blend_window(tile: int, halo: int, scale: int,
+                 tile_w: Optional[int] = None) -> np.ndarray:
+    """(T_h·r, T_w·r, 1) HR-resolution weight window: 1 in the core,
+    linear ramp 0→1 across the 2h overlap; the scatter divides by the
+    accumulated window sum, so any coverage pattern renormalizes to a
+    partition of unity."""
+    tile_w = tile if tile_w is None else tile_w
+    ramp_len = 2 * halo * scale
+    return np.outer(_ramp(tile * scale, ramp_len),
+                    _ramp(tile_w * scale, ramp_len))[..., None]
+
+
+def _weight_map(oys: Sequence[int], oxs: Sequence[int], tile_h: int,
+                tile_w: int, halo: int, scale: int, h_hr: int,
+                w_hr: int) -> np.ndarray:
+    """Accumulated blend-weight canvas for the actual (clamped) offsets.
+    The 2-D window is an outer product and the offset grid factorizes per
+    axis, so the sum of shifted windows separates into an outer product
+    of 1-D shifted-ramp sums."""
+    ramp_len = 2 * halo * scale
+
+    def profile(offsets, t_hr, n_hr):
+        w1 = _ramp(t_hr, ramp_len)
+        p = np.zeros(n_hr, np.float32)
+        for o in offsets:
+            p[o * scale:o * scale + t_hr] += w1
+        return p
+
+    return np.outer(profile(oys, tile_h * scale, h_hr),
+                    profile(oxs, tile_w * scale, w_hr))[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w"))
+def _extract_tiles_jit(lr, oys, oxs, *, tile_h, tile_w):
     return jax.vmap(lambda oy, ox: jax.lax.dynamic_slice(
-        padded, (oy, ox, 0), (tile, tile, lr.shape[-1])))(oys, oxs)
+        lr, (oy, ox, 0), (tile_h, tile_w, lr.shape[-1])))(oys, oxs)
 
 
 def extract_tiles(lr: jnp.ndarray, tile: int, halo: int):
-    """(H, W, C) → (n_tiles, T, T, C) with reflect padding — one compiled
-    vmap-of-dynamic_slice per (frame shape, tile plan), not n_tiles
-    eagerly dispatched slices."""
+    """(H, W, C) → (n_tiles, T_h, T_w, C), every tile a true sub-window
+    of the frame — one compiled vmap-of-dynamic_slice per (frame shape,
+    tile plan), not n_tiles eagerly dispatched slices."""
     h, w, c = lr.shape
-    n_rows, n_cols, pad_h, pad_w, stride = plan_tiles(h, w, tile, halo)
-    tiles = _extract_tiles_jit(lr, pad_h=pad_h, pad_w=pad_w, tile=tile,
-                               halo=halo, n_rows=n_rows, n_cols=n_cols,
-                               stride=stride)
-    return tiles, (n_rows, n_cols, stride)
+    (tile_h, tile_w), oys, oxs = plan_tiles(h, w, tile, halo)
+    grid = [(oy, ox) for oy in oys for ox in oxs]
+    oy_arr = jnp.asarray([g[0] for g in grid], jnp.int32)
+    ox_arr = jnp.asarray([g[1] for g in grid], jnp.int32)
+    tiles = _extract_tiles_jit(lr, oy_arr, ox_arr, tile_h=tile_h,
+                               tile_w=tile_w)
+    return tiles, ((tile_h, tile_w), oys, oxs)
 
 
 def tiled_upscale(
@@ -105,6 +144,11 @@ def tiled_upscale(
     on-chip working set; every ``infer_fn`` call sees the same static
     shape, so the generator compiles exactly once per (tile, tile_batch).
 
+    Frames that fit inside one tile run whole-frame (a single ``infer_fn``
+    call — exact reference semantics); larger frames use the clamped
+    shift-and-blend grid, which is parity-exact at frame borders (module
+    docstring).
+
     With a ``mesh``, tiles are batch-sharded across it, so any params
     ``infer_fn`` takes as *jit arguments* must already be replicated over
     the same mesh (``jax.device_put(params, replicated(mesh))``) — mixing
@@ -112,7 +156,10 @@ def tiled_upscale(
     Closed-over (constant) params replicate automatically.
     """
     h, w, c = lr.shape
-    tiles, (n_rows, n_cols, stride) = extract_tiles(lr, tile, halo)
+    if h <= tile and w <= tile:
+        return infer_fn(lr[None])[0]
+
+    tiles, ((tile_h, tile_w), oys, oxs) = extract_tiles(lr, tile, halo)
     n_tiles = tiles.shape[0]
 
     # pad the tile batch to a full multiple (and to the mesh) — static shape
@@ -130,60 +177,33 @@ def tiled_upscale(
         sr_chunks.append(infer_fn(tiles[start:start + group]))
     sr_tiles = jnp.concatenate(sr_chunks)[:n_tiles]
 
-    out = _blend_scatter(sr_tiles,
-                         jnp.asarray(blend_window(tile, halo, scale)),
-                         jnp.asarray(_weight_map(n_rows, n_cols, tile,
-                                                 halo, scale)),
-                         n_rows=n_rows, n_cols=n_cols,
-                         s_hr=stride * scale, hr_t=tile * scale)
-    off = halo * scale
-    return out[off:off + h * scale, off:off + w * scale]
+    grid = [(oy, ox) for oy in oys for ox in oxs]
+    return _blend_scatter(
+        sr_tiles,
+        jnp.asarray(blend_window(tile_h, halo, scale, tile_w)),
+        jnp.asarray(_weight_map(oys, oxs, tile_h, tile_w, halo, scale,
+                                h * scale, w * scale)),
+        jnp.asarray([g[0] * scale for g in grid], jnp.int32),
+        jnp.asarray([g[1] * scale for g in grid], jnp.int32),
+        h_hr=h * scale, w_hr=w * scale)
 
 
-def _weight_map(n_rows: int, n_cols: int, tile: int, halo: int,
-                scale: int) -> np.ndarray:
-    """Accumulated blend-weight canvas, computed analytically: the 2-D
-    window is ``outer(w1, w1)``, so the sum of shifted windows over the
-    tile grid separates into an outer product of 1-D shifted-ramp sums —
-    no per-tile accumulation pass needed."""
-    t_hr, s_hr = tile * scale, (tile - 2 * halo) * scale
-    x = np.arange(t_hr, dtype=np.float32) + 0.5
-    ramp_len = 2 * halo * scale
-    if ramp_len > 0:
-        w1 = np.clip(x / ramp_len, 0.0, 1.0)
-        w1 = np.minimum(w1, np.clip((t_hr - x) / ramp_len, 0.0, 1.0))
-    else:
-        w1 = np.ones_like(x)
-
-    def profile(n):
-        p = np.zeros(n * s_hr + (t_hr - s_hr), np.float32)
-        for i in range(n):
-            p[i * s_hr:i * s_hr + t_hr] += w1
-        return p
-
-    return np.outer(profile(n_rows), profile(n_cols))[..., None]
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("n_rows", "n_cols", "s_hr", "hr_t"))
-def _blend_scatter(sr_tiles, window, wmap, *, n_rows, n_cols, s_hr, hr_t):
+@functools.partial(jax.jit, static_argnames=("h_hr", "w_hr"))
+def _blend_scatter(sr_tiles, window, wmap, oys_hr, oxs_hr, *, h_hr, w_hr):
     """One compiled scatter-blend for the whole frame (SURVEY.md §7 stage
     6): window-weight every tile, lax.scan a dynamic-update-slice
-    accumulation over the tile grid, divide by the analytic weight map.
-    Replaces ~2·n_tiles eagerly dispatched host ops per frame with a
-    single cached jit call per (frame shape, plan)."""
-    c = sr_tiles.shape[-1]
+    accumulation over the tile grid, divide by the offset-exact weight
+    map.  Replaces ~2·n_tiles eagerly dispatched host ops per frame with
+    a single cached jit call per (frame shape, plan)."""
+    t_h, t_w, c = sr_tiles.shape[1:]
     weighted = (sr_tiles * window).astype(jnp.float32)
-    idx = jnp.arange(n_rows * n_cols)
-    oys, oxs = (idx // n_cols) * s_hr, (idx % n_cols) * s_hr
-    canvas = jnp.zeros((n_rows * s_hr + (hr_t - s_hr),
-                        n_cols * s_hr + (hr_t - s_hr), c), jnp.float32)
+    canvas = jnp.zeros((h_hr, w_hr, c), jnp.float32)
 
     def body(canvas, x):
         t, oy, ox = x
-        patch = jax.lax.dynamic_slice(canvas, (oy, ox, 0), (hr_t, hr_t, c))
+        patch = jax.lax.dynamic_slice(canvas, (oy, ox, 0), (t_h, t_w, c))
         return jax.lax.dynamic_update_slice(canvas, patch + t,
                                             (oy, ox, 0)), None
 
-    canvas, _ = jax.lax.scan(body, canvas, (weighted, oys, oxs))
+    canvas, _ = jax.lax.scan(body, canvas, (weighted, oys_hr, oxs_hr))
     return canvas / jnp.maximum(wmap, 1e-8)

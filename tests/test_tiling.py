@@ -31,10 +31,19 @@ def test_blend_window_partition_of_unity():
 
 
 def test_plan_tiles_covers_frame():
+    """Clamped tiles: every window inside the frame, union covers it."""
     for h, w in [(100, 200), (33, 17), (128, 128), (1, 1)]:
-        n_rows, n_cols, pad_h, pad_w, stride = plan_tiles(h, w, 32, 4)
-        assert n_rows * stride >= h and n_cols * stride >= w
-        assert pad_h >= 4 and pad_w >= 4          # at least the halo
+        (t_h, t_w), oys, oxs = plan_tiles(h, w, 32, 4)
+        assert t_h <= h or t_h == h
+        cov_h = np.zeros(h, bool)
+        for oy in oys:
+            assert 0 <= oy <= h - t_h          # true sub-window
+            cov_h[oy:oy + t_h] = True
+        cov_w = np.zeros(w, bool)
+        for ox in oxs:
+            assert 0 <= ox <= w - t_w
+            cov_w[ox:ox + t_w] = True
+        assert cov_h.all() and cov_w.all()
 
 
 def _small_gen():
@@ -87,10 +96,39 @@ def test_plan_tiles_2k_detector_frame():
     """BASELINE.json config 4: 2K frames.  The production plan: 128-px
     tiles with an 8-px halo → 112-px stride grid, all tiles one compiled
     shape."""
-    n_rows, n_cols, pad_h, pad_w, stride = plan_tiles(2048, 2048, 128, 8)
-    assert stride == 112
-    assert n_rows == n_cols == 19        # ceil(2048/112)
-    assert (n_rows - 1) * stride + 128 >= 2048 + 8
+    (t_h, t_w), oys, oxs = plan_tiles(2048, 2048, 128, 8)
+    assert (t_h, t_w) == (128, 128)
+    assert len(oys) == len(oxs) == 19    # ceil((2048-128)/112)+1
+    assert oys[-1] == 2048 - 128         # clamped to the frame edge
+    assert all(b - a <= 112 for a, b in zip(oys, oys[1:]))
+
+
+def test_tiled_exact_at_frame_borders():
+    """Round-2 regression (found by the verify drive): frame-BORDER
+    pixels must match whole-frame inference exactly — clamped tiles mean
+    the generator's own SAME zero-padding applies at the true frame edge,
+    instead of round 1's reflect-padding (up to 7/255 uint8 off on the
+    canonical model)."""
+    fn, whole = _small_gen()
+    img = jax.random.normal(jax.random.key(4), (96, 96, 3))
+    ref = np.asarray(whole(img))
+    out = np.asarray(tiled_upscale(fn, img, scale=4, tile=72, halo=20,
+                                   tile_batch=2))
+    # borders specifically (the old reflect-pad design failed exactly here)
+    np.testing.assert_allclose(out[:8], ref[:8], atol=5e-4)
+    np.testing.assert_allclose(out[-8:], ref[-8:], atol=5e-4)
+    np.testing.assert_allclose(out[:, :8], ref[:, :8], atol=5e-4)
+    np.testing.assert_allclose(out[:, -8:], ref[:, -8:], atol=5e-4)
+
+
+def test_tiled_single_tile_frame_is_whole_frame():
+    """Frames that fit in one tile take the whole-frame path — bit-exact
+    with direct inference."""
+    fn, whole = _small_gen()
+    img = jax.random.normal(jax.random.key(5), (24, 30, 3))
+    ref = np.asarray(whole(img))
+    out = np.asarray(tiled_upscale(fn, img, scale=4, tile=128, halo=8))
+    np.testing.assert_array_equal(out, ref)
 
 
 def test_tiled_large_frame_smoke():
