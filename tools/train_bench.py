@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""GAN / pretrain train-step throughput on the real chip (BASELINE.json
+tracked metric: "GAN train iters/sec").
+
+Times the full jitted step (G fwd + D fwds + both grads + two Adam
+updates for GAN; G fwd+grad+Adam for pretrain) on a synthetic uint8
+batch.  The step's state->state dependency chains iterations naturally,
+so a host loop over N steps with one final scalar fetch measures true
+sustained throughput (no scan-hoisting risk; the ~25 ms tunnel sync
+floor amortizes over N).
+
+Usage: python tools/train_bench.py [--step gan|pretrain]
+       [--impls lax,pallas_cf] [--batch 16] [--hr 192] [--steps 30]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax                                                    # noqa: E402
+import jax.numpy as jnp                                       # noqa: E402
+import numpy as np                                            # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--step", default="gan", choices=("gan", "pretrain"))
+    ap.add_argument("--impls", default="lax,pallas_cf")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--hr", type=int, default=192)
+    ap.add_argument("--steps", type=int, default=30)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    from super_resolution_tpu.config import (
+        DataConfig,
+        GeneratorConfig,
+        LossConfig,
+        preset,
+    )
+    from super_resolution_tpu.train import (
+        init_state,
+        make_gan_step,
+        make_pretrain_step,
+    )
+
+    rng = np.random.RandomState(0)
+    batch = jnp.asarray(rng.randint(
+        0, 256, (args.batch, args.hr, args.hr, 3), dtype=np.uint8))
+
+    for impl in args.impls.split(","):
+        cfg = dataclasses.replace(
+            preset("train_gan" if args.step == "gan" else "pretrain_psnr"),
+            generator=GeneratorConfig(conv_impl=impl),
+            data=DataConfig(hr_patch=args.hr, batch_size=args.batch),
+            loss=LossConfig(perceptual_source="d_features",
+                            lambda_percep=1.0),
+            warmup_batches=0,
+        )
+        make_step = (make_gan_step if args.step == "gan"
+                     else make_pretrain_step)
+        try:
+            state = init_state(cfg)
+            step = make_step(cfg)
+            t0 = time.perf_counter()
+            state, metrics = step(state, batch)
+            float(jax.device_get(metrics["psnr"]))
+            print(f"{impl:10s} compile+first: "
+                  f"{time.perf_counter() - t0:.0f}s", flush=True)
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                state, metrics = step(state, batch)
+            float(jax.device_get(metrics["psnr"]))
+            dt = (time.perf_counter() - t0) / args.steps
+            mp = args.batch * args.hr * args.hr / 1e6
+            print(f"{impl:10s} {args.step}: {1.0 / dt:6.2f} it/s  "
+                  f"({dt * 1e3:.1f} ms/step, {mp / dt:.2f} MP/s HR, "
+                  f"batch {args.batch}x{args.hr}²)", flush=True)
+        except Exception as e:
+            print(f"{impl:10s} FAILED {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
