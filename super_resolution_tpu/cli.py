@@ -57,6 +57,7 @@ def _build_cfg(args) -> "TrainConfig":
         dataset_dir=ov("dataset_dir", cfg.data.dataset_dir),
         lr_dir=ov("lr_dir", cfg.data.lr_dir),
         hr_patch=ov("hr_height", cfg.data.hr_patch),
+        hr_patch_w=ov("hr_width", cfg.data.hr_patch_w),
         batch_size=ov("batch_size", cfg.data.batch_size),
         n_workers=ov("n_cpu", cfg.data.n_workers),
     )
@@ -137,9 +138,10 @@ def _add_common(p: argparse.ArgumentParser):
                    help="number of RRDB blocks (default 23)")
     p.add_argument("--channels", type=int, default=None)
     p.add_argument("--hr_height", type=int, default=None)
-    p.add_argument("--hr_width", type=int, default=192,
-                   help="accepted for reference-CLI compatibility; patches "
-                        "are square (hr_height is used)")
+    p.add_argument("--hr_width", type=int, default=None,
+                   help="HR patch width (default: square, = hr_height); "
+                        "rotation augmentation auto-disables for "
+                        "non-square patches")
     p.add_argument("--upsampler", choices=("nearest_conv", "pixelshuffle"),
                    default=None)
     p.add_argument("--dtype", default=None,

@@ -144,7 +144,10 @@ class DataConfig:
     # (matched to dataset_dir files by stem) instead of being bicubic-
     # synthesized — real detector data with pre-existing LR frames.
     lr_dir: Optional[str] = None
-    hr_patch: int = 192          # --hr_height / --hr_width
+    hr_patch: int = 192          # --hr_height
+    # --hr_width: non-square patches (None -> square hr_patch x hr_patch).
+    # Rotation augmentation auto-disables for non-square (augment.py).
+    hr_patch_w: Optional[int] = None
     scale: int = 4
     batch_size: int = 16         # --batch_size
     augment: bool = True
@@ -156,6 +159,16 @@ class DataConfig:
     @property
     def lr_patch(self) -> int:
         return self.hr_patch // self.scale
+
+    @property
+    def patch_hw(self) -> Tuple[int, int]:
+        """(H, W) of the HR training patch."""
+        return (self.hr_patch, self.hr_patch_w or self.hr_patch)
+
+    @property
+    def lr_patch_hw(self) -> Tuple[int, int]:
+        h, w = self.patch_hw
+        return (h // self.scale, w // self.scale)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -35,7 +35,7 @@ class GrainPatchLoader:
             else list_images(cfg.dataset_dir)
         self.seed = seed
 
-        patch = cfg.hr_patch
+        patch = cfg.patch_hw
 
         def decode(path_and_seed):
             path, record_seed = path_and_seed

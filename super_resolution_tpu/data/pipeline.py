@@ -64,47 +64,50 @@ def _decode(path: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"))
 
 
-def _decode_crop_pair(hr_path: str, lr_path: str, patch: int, scale: int,
-                      rng: np.random.Generator):
+def _decode_crop_pair(hr_path: str, lr_path: str, patch: Tuple[int, int],
+                      scale: int, rng: np.random.Generator):
     """Aligned random crop from a paired (HR, LR) frame: the LR crop is
     ``patch//scale`` at (top/scale, left/scale) — positions are drawn on
     the LR grid so the two crops cover exactly the same field of view."""
     hr = _decode(hr_path)
     lr = _decode(lr_path)
-    lp = patch // scale
+    lp_h, lp_w = patch[0] // scale, patch[1] // scale
     eh, ew = lr.shape[0] * scale, lr.shape[1] * scale
     if hr.shape[0] != eh or hr.shape[1] != ew:
         raise ValueError(
             f"paired size mismatch: HR {hr.shape[:2]} vs LR "
             f"{lr.shape[:2]}×{scale} for {os.path.basename(hr_path)}")
-    if lr.shape[0] < lp or lr.shape[1] < lp:
-        pad_y, pad_x = max(0, lp - lr.shape[0]), max(0, lp - lr.shape[1])
+    if lr.shape[0] < lp_h or lr.shape[1] < lp_w:
+        pad_y = max(0, lp_h - lr.shape[0])
+        pad_x = max(0, lp_w - lr.shape[1])
         lr = np.pad(lr, ((0, pad_y), (0, pad_x), (0, 0)), mode="reflect")
         hr = np.pad(hr, ((0, pad_y * scale), (0, pad_x * scale), (0, 0)),
                     mode="reflect")
-    top = int(rng.integers(0, lr.shape[0] - lp + 1))
-    left = int(rng.integers(0, lr.shape[1] - lp + 1))
-    return (hr[top * scale:(top + lp) * scale,
-               left * scale:(left + lp) * scale],
-            lr[top:top + lp, left:left + lp])
+    top = int(rng.integers(0, lr.shape[0] - lp_h + 1))
+    left = int(rng.integers(0, lr.shape[1] - lp_w + 1))
+    return (hr[top * scale:(top + lp_h) * scale,
+               left * scale:(left + lp_w) * scale],
+            lr[top:top + lp_h, left:left + lp_w])
 
 
-def _decode_crop(path: str, patch: int, rng: np.random.Generator) -> np.ndarray:
-    """PIL decode + random HR crop → (patch, patch, 3) uint8.  Images
+def _decode_crop(path: str, patch: Tuple[int, int],
+                 rng: np.random.Generator) -> np.ndarray:
+    """PIL decode + random HR crop → (patch_h, patch_w, 3) uint8.  Images
     smaller than the patch are reflect-padded (detector frames are ≥2K in
     the reference data, SURVEY.md §2.1, so this is a test-data fallback)."""
     from PIL import Image
 
+    p_h, p_w = patch
     with Image.open(path) as im:
         arr = np.asarray(im.convert("RGB"))
     h, w = arr.shape[:2]
-    if h < patch or w < patch:
-        arr = np.pad(arr, ((0, max(0, patch - h)), (0, max(0, patch - w)),
+    if h < p_h or w < p_w:
+        arr = np.pad(arr, ((0, max(0, p_h - h)), (0, max(0, p_w - w)),
                            (0, 0)), mode="reflect")
         h, w = arr.shape[:2]
-    top = int(rng.integers(0, h - patch + 1))
-    left = int(rng.integers(0, w - patch + 1))
-    return arr[top:top + patch, left:left + patch]
+    top = int(rng.integers(0, h - p_h + 1))
+    left = int(rng.integers(0, w - p_w + 1))
+    return arr[top:top + p_h, left:left + p_w]
 
 
 class PatchLoader:
@@ -152,13 +155,13 @@ class PatchLoader:
         rng = np.random.default_rng((self.seed, step, 1))
         paths = self._sample_paths(step)
         if self.cfg.lr_dir is not None:
-            pairs = [_decode_crop_pair(hp, lp, self.cfg.hr_patch,
+            pairs = [_decode_crop_pair(hp, lp, self.cfg.patch_hw,
                                        self.cfg.scale, rng)
                      for hp, lp in paths]
             return {"hr": np.stack([h for h, _ in pairs]),
                     "lr": np.stack([l for _, l in pairs])}
         return np.stack([
-            _decode_crop(p, self.cfg.hr_patch, rng) for p in paths])
+            _decode_crop(p, self.cfg.patch_hw, rng) for p in paths])
 
     def __iter__(self) -> Iterator[np.ndarray]:
         if self.cfg.n_workers <= 1:
@@ -230,8 +233,8 @@ class SyntheticPatches:
         while True:
             rng = np.random.default_rng((self.seed, self.step))
             self.step += 1
-            yield rng.integers(0, 256, (c.batch_size, c.hr_patch,
-                                        c.hr_patch, 3), dtype=np.uint8)
+            yield rng.integers(0, 256, (c.batch_size, *c.patch_hw, 3),
+                               dtype=np.uint8)
 
 
 def device_prefetch(it: Iterator[np.ndarray], size: int = 2,

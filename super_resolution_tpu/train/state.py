@@ -75,9 +75,9 @@ def init_state(cfg: TrainConfig, key: Optional[jax.Array] = None,
     kg, kd, kv, krun = jax.random.split(key, 4)
     g, d, vgg = build_models(cfg)
 
-    lr_shape = (1, cfg.data.lr_patch, cfg.data.lr_patch,
+    lr_shape = (1, *cfg.data.lr_patch_hw,
                 cfg.generator.channels)
-    hr_shape = (1, cfg.data.hr_patch, cfg.data.hr_patch,
+    hr_shape = (1, *cfg.data.patch_hw,
                 cfg.generator.channels)
     g_vars = g.init(kg, jnp.zeros(lr_shape))
     d_vars = d.init(kd, jnp.zeros(hr_shape), train=False)

@@ -123,6 +123,44 @@ def test_patch_loader_small_images_padded(tmp_path):
     assert next(iter(PatchLoader(cfg))).shape == (1, 32, 32, 3)
 
 
+def test_patch_loader_nonsquare(image_dir):
+    """--hr_width (SURVEY.md reference CLI surface): non-square HR
+    patches flow through crop, synthesis and the train step; rotation
+    augmentation auto-disables (augment.py)."""
+    cfg = DataConfig(dataset_dir=image_dir, hr_patch=32, hr_patch_w=16,
+                     batch_size=2, n_workers=1)
+    assert cfg.patch_hw == (32, 16) and cfg.lr_patch_hw == (8, 4)
+    batch = next(iter(PatchLoader(cfg, seed=3)))
+    assert batch.shape == (2, 32, 16, 3)
+    out = preprocess_batch(jax.random.key(0), jnp.asarray(batch), cfg)
+    assert out["hr"].shape == (2, 32, 16, 3)
+    assert out["lr"].shape == (2, 8, 4, 3)
+
+
+def test_nonsquare_pretrain_step():
+    """One pretrain step on non-square patches end-to-end (generator,
+    loss, metrics are all shape-agnostic)."""
+    import dataclasses
+
+    from super_resolution_tpu.config import (
+        GeneratorConfig,
+        TrainConfig,
+    )
+    from super_resolution_tpu.data import SyntheticPatches
+    from super_resolution_tpu.train import init_state, make_pretrain_step
+
+    cfg = TrainConfig(
+        generator=GeneratorConfig(n_blocks=1, filters=8, growth=4),
+        data=DataConfig(hr_patch=32, hr_patch_w=24, batch_size=2,
+                        n_workers=0),
+        donate_buffers=False,
+    )
+    batch = jnp.asarray(next(iter(SyntheticPatches(cfg.data, seed=0))))
+    assert batch.shape == (2, 32, 24, 3)
+    state, metrics = make_pretrain_step(cfg)(init_state(cfg), batch)
+    assert np.isfinite(float(metrics["loss_pixel"]))
+
+
 def test_synthetic_patches_deterministic():
     a = iter(SyntheticPatches(CFG, seed=1))
     b = iter(SyntheticPatches(CFG, seed=1))
