@@ -486,12 +486,13 @@ def _kernel5(*refs, rows, width, n_convs, growth, filters,
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope",
-                                             "save_acts"))
+                                             "save_acts", "interpret"))
 def fused_dense_block_cf5(x: jnp.ndarray,
                           weights: Sequence[jnp.ndarray],
                           biases: Sequence[jnp.ndarray],
                           *, rows: int = 32, res_scale: float = 0.2,
-                          slope: float = 0.2, save_acts: bool = False):
+                          slope: float = 0.2, save_acts: bool = False,
+                          interpret: bool = False):
     """dy-in-K / dx-in-M fused dense block; same contract as
     :func:`fused_dense_block_cf`.  With ``save_acts`` also returns the
     intermediate activations (custom-VJP residuals)."""
@@ -545,6 +546,7 @@ def fused_dense_block_cf5(x: jnp.ndarray,
                                    x.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size * 4, transcendentals=0),
+        interpret=interpret,
     )(*([x_flat] * n_in_blocks), *wps, *b2)
     unflat = lambda a: a.reshape(batch, a.shape[1], h, w)     # noqa: E731
     if save_acts:

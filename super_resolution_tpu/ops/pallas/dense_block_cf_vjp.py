@@ -1,34 +1,45 @@
-"""Custom VJP for the packed-K channels-first fused dense block (v4).
+"""Custom VJP for the channels-first fused dense block (v5 geometry).
 
 Round-1 left training pinned to the lax conv path because the Pallas
 kernels defined no VJP (train/steps.py forced ``conv_impl='lax'``); this
 module closes that gap with a hand-written Mosaic *backward* kernel, so
 the fused forward also runs under ``jax.grad``.
 
-Backward math, all in the same channels-first flattened-band layout as
-the forward (dense_block_cf.py):
+Both directions use the v5 layout (dense_block_cf.py): channels-first
+flattened bands, the three dy (row) taps folded into the contraction as
+matmuls over W-aligned lane windows, the three dx (column) taps packed in
+the matmul M dim.  Backward math per conv k, in reverse:
 
-- forward conv k: ``z = Wp_k · feats`` (taps packed in M), 9 tap
-  shift-adds, LeakyReLU; backward therefore *scatters* the incoming
-  cotangent into a (9F, window·W) buffer with the reverse shifts
-  (dy → lane-window placement, dx → opposite-direction lane rolls with
-  the mirrored edge masks), then
-- ``dW_k  = dz ·_P feats^T``  — one matmul contracting the pixel axis
-  (K = thousands, MXU-healthy), and
-- ``dfeats += Wp_k^T ·_{9F} dz`` — one matmul with K = 9F = 288.
-- LeakyReLU gradient uses the saved activation sign (``a >= 0`` ⟺
+- LeakyReLU grad from the saved activation sign (``a >= 0`` ⟺
   ``z >= 0``), and the forward's out-of-image row masking back-propagates
-  as a row mask on the cotangent.
+  as a row mask on the cotangent → ``dout`` (F, m_out).
+- dx reversal: scatter ``dout`` into a (3F, m_out) buffer with the
+  *opposite* lane rolls and mirrored edge-column masks → ``dacc``.
+- dW: for each dy, ``dW_dy = dacc ·_pixels feats[:, (k+dy)·W …]^T`` —
+  one matmul contracting the pixel axis (K = thousands, MXU-deep),
+  written to the dy-major row slab of the packed (9F, C) gradient.
+- dfeats: for each dy, ``dfeats[:, (k+dy)·W …] += W_dy^T ·_{3F} dacc``
+  — one matmul with K = 3F, accumulated at the same aligned window
+  offsets the forward read from.
+
+The v4-geometry backward (per-row band assembly, all 9 taps in one
+(9F, win) scatter buffer) compiled only for W a multiple of 128 — real-
+hardware Mosaic rejects its many small unaligned lane stores, which is
+exactly the training-patch regime (W = 48 for 192² HR patches).  The v5
+geometry assembles bands with ceil(band/rows) aligned (C, rows·W) block
+stores and compiles for the shapes training actually uses (found by the
+round-2 GAN it/s bench, BENCHNOTES.md).
 
 Band halos: the forward recomputes halo rows per band, so the gradient
 w.r.t. the input carries per-band contributions that overlap ±halo rows
 across band boundaries.  The kernel writes each band's *widened* input
-gradient disjointly ((B, n_bands, C, band_rows, W)); the wrapper
-overlap-adds the bands — a handful of XLA adds.
-
-Weight/bias gradients accumulate across the sequential TPU grid into
-constant-index output blocks (zeroed on the first grid step — the
-standard Pallas accumulation pattern).
+gradient disjointly ((B, n_bands, C, band_rows·W)); the wrapper
+overlap-adds the bands — a handful of XLA adds.  Weight/bias gradients
+accumulate across the sequential TPU grid into constant-index output
+blocks (zeroed on the first grid step — the standard Pallas accumulation
+pattern).  The backward bands independently of the forward (it
+recomputes everything from the saved full-plane residuals), so it picks
+its own VMEM-safe ``rows``.
 """
 
 from __future__ import annotations
@@ -42,7 +53,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from super_resolution_tpu.ops.pallas.dense_block_cf import (
-    fused_dense_block_cf3,
     fused_dense_block_cf5,
     pack_weights_cf,
 )
@@ -56,7 +66,7 @@ def unpack_weight_grad(dw9: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(dw9.reshape(3, 3, f, c), (0, 1, 3, 2))
 
 
-def _kernel3_bwd(*refs, rows, width, n_convs, growth, filters,
+def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
                  res_scale, slope, h_img, n_in_blocks, cin):
     nb = n_in_blocks
     n_srcs = n_convs              # x + a1..a4
@@ -66,7 +76,7 @@ def _kernel3_bwd(*refs, rows, width, n_convs, growth, filters,
     outs = refs[n_srcs * nb + 1 + n_convs:
                 n_srcs * nb + 1 + n_convs + 1 + 2 * n_convs]
     o_dx, o_dws, o_dbs = outs[0], outs[1:1 + n_convs], outs[1 + n_convs:]
-    feat_ref, dfeat_ref, dz_ref, gflat_ref = refs[-4:]
+    feat_ref, dfeat_ref, dz_ref = refs[-3:]
 
     band_row0 = pl.program_id(1) * rows
     halo = n_convs
@@ -78,90 +88,91 @@ def _kernel3_bwd(*refs, rows, width, n_convs, growth, filters,
         for r in list(o_dws) + list(o_dbs):
             r[:] = jnp.zeros_like(r)
 
-    # ---- assemble feats (x | a1 | a2 | a3 | a4) and the flat cotangent
+    # ---- assemble feats (x | a1 | .. | a4): aligned lane-block stores
     offs = [0] + [cin + growth * j for j in range(n_convs - 1)]
     for j, blocks in enumerate(src_blocks):
         c0 = offs[j]
         cs = cin if j == 0 else growth
-        n = 0
-        for b in blocks:
-            for r in range(rows):
-                if n < band_rows:
-                    feat_ref[c0:c0 + cs, n * width:(n + 1) * width] = \
-                        b[0, :, r, :]
-                n += 1
-    for r in range(rows):
-        gflat_ref[:, r * width:(r + 1) * width] = \
-            g_ref[0, :, r, :].astype(jnp.float32)
+        for b_i, b in enumerate(blocks):
+            feat_ref[c0:c0 + cs,
+                     b_i * rows * width:(b_i + 1) * rows * width] = b[0]
 
     dfeat_ref[:] = jnp.zeros_like(dfeat_ref)
     # residual identity: dx central += g
-    dfeat_ref[0:cin, halo * width:(halo + rows) * width] = gflat_ref[:]
+    dfeat_ref[0:cin, halo * width:(halo + rows) * width] = \
+        g_ref[0].astype(jnp.float32)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, band_rows * width), 1) \
-        % width
+    m_max = (rows + 2 * (halo - 1)) * width
+    lane_max = jax.lax.broadcasted_iota(jnp.int32, (1, m_max), 1)
+    col_max = lane_max % width
 
     for k in range(n_convs - 1, -1, -1):
         last = k == n_convs - 1
         cout = filters if last else growth
         out_rows = rows + 2 * (halo - k - 1)
         m_out = out_rows * width
-        win = (out_rows + 2) * width
         c_in_k = cin + growth * k
         row0 = band_row0 - (halo - k - 1)
+        col = col_max[:, :m_out]
 
         if last:
-            dout = gflat_ref[:] * res_scale            # (F, rows·W) f32
+            dout = g_ref[0].astype(jnp.float32) * res_scale  # (F, rows·W)
         else:
             sl = slice(cin + growth * k, cin + growth * (k + 1))
             lanes = slice((k + 1) * width, (k + 1) * width + m_out)
             da = dfeat_ref[sl, lanes]
             a = feat_ref[sl, lanes]
-            dz_pre = da * jnp.where(a >= 0, 1.0, slope)
-            g_row = (jax.lax.broadcasted_iota(
-                jnp.int32, (1, m_out), 1) // width) + row0
-            dout = jnp.where((g_row >= 0) & (g_row < h_img), dz_pre, 0.0)
+            # arithmetic masks only: an i1 select on a value loaded from
+            # an unaligned lane offset hits a Mosaic "invalid relayout"
+            # (replicated-dimension) compile error at W % 128 != 0.
+            # sign-based LeakyReLU grad: a > 0 → 1, a < 0 → slope; the
+            # a == 0 kink gets slope instead of lax's 1.0 — a measure-
+            # zero subgradient choice.
+            leak = slope + (1.0 - slope) * jnp.maximum(
+                jnp.sign(a.astype(jnp.float32)), 0.0)
+            g_row = (lane_max[:, :m_out] // width) + row0
+            rowmask = ((g_row >= 0) & (g_row < h_img)).astype(jnp.float32)
+            dout = da * leak * rowmask
 
         o_dbs[k][:] += jnp.sum(dout, axis=1)[None, :]
 
-        # scatter dout into the (9F, win) dz buffer with reverse shifts
-        dz_ref[0:9 * cout, 0:win] = jnp.zeros((9 * cout, win),
-                                              dz_ref.dtype)
-        colm = col[:, :m_out]
+        # dx reversal: the fwd's left tap rolled right & zeroed col 0 →
+        # its adjoint rolls left & zeroes the last col (and vice versa).
+        # Arithmetic 0/1 masks, not jnp.where — Mosaic rejects the
+        # broadcast-i1 select feeding these stores with an "invalid
+        # relayout: non-singleton dimension replicated" error.
+        m_last = (col < width - 1).astype(jnp.float32)
+        m_first = (col > 0).astype(jnp.float32)
+        dz_ref[0:cout, 0:m_out] = (
+            pltpu.roll(dout, m_out - 1, 1) * m_last).astype(dz_ref.dtype)
+        dz_ref[cout:2 * cout, 0:m_out] = dout.astype(dz_ref.dtype)
+        dz_ref[2 * cout:3 * cout, 0:m_out] = (
+            pltpu.roll(dout, 1, 1) * m_first).astype(dz_ref.dtype)
+        dacc = dz_ref[0:3 * cout, 0:m_out]
+
         for dy in range(3):
-            for dx in range(3):
-                t = dy * 3 + dx
-                slab = dout
-                if dx == 0:      # fwd rolled right & zeroed col 0
-                    slab = jnp.where(colm < width - 1,
-                                     pltpu.roll(slab, m_out - 1, 1), 0.0)
-                elif dx == 2:    # fwd rolled left & zeroed last col
-                    slab = jnp.where(colm > 0, pltpu.roll(slab, 1, 1), 0.0)
-                dz_ref[t * cout:(t + 1) * cout,
-                       dy * width:dy * width + m_out] = \
-                    slab.astype(dz_ref.dtype)
+            lanes_dy = slice((k + dy) * width, (k + dy) * width + m_out)
+            part = feat_ref[0:c_in_k, lanes_dy]
+            # dW_dy: contract the pixel axis (K = m_out, MXU-deep)
+            o_dws[k][dy * 3 * cout:(dy + 1) * 3 * cout, 0:c_in_k] += \
+                jax.lax.dot_general(
+                    dacc, part, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            # dfeats: contract the packed-dx axis (K = 3F)
+            wdy = w_refs[k][dy * 3 * cout:(dy + 1) * 3 * cout, 0:c_in_k]
+            dpart = jax.lax.dot_general(
+                wdy, dacc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dfeat_ref[0:c_in_k, lanes_dy] = \
+                dfeat_ref[0:c_in_k, lanes_dy] + dpart
 
-        part = feat_ref[0:c_in_k, k * width:k * width + win]
-        dzv = dz_ref[0:9 * cout, 0:win]
-        # dW: contract the pixel axis (K = win, MXU-deep)
-        o_dws[k][:] += jax.lax.dot_general(
-            dzv, part, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        # dfeats: contract the packed-tap axis (K = 9F)
-        dpart = jax.lax.dot_general(
-            w_refs[k][:], dzv, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        lanes_in = slice(k * width, k * width + win)
-        dfeat_ref[0:c_in_k, lanes_in] = \
-            dfeat_ref[0:c_in_k, lanes_in] + dpart
-
-    o_dx[:] = dfeat_ref[0:cin, :].reshape(1, 1, cin, band_rows, width)
+    o_dx[:] = dfeat_ref[0:cin, 0:band_rows * width][None, None]
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope"))
-def fused_dense_block_cf3_bwd(x, acts, weights, g, *, rows: int,
+def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
                               res_scale: float, slope: float):
-    """Backward of :func:`fused_dense_block_cf3`: returns
+    """Backward of :func:`fused_dense_block_cf5`: returns
     ``(dx, [dW_k HWIO], [db_k])`` given the saved activations."""
     batch, cin, h, w = x.shape
     n_convs = len(weights)
@@ -175,35 +186,37 @@ def fused_dense_block_cf3_bwd(x, acts, weights, g, *, rows: int,
     c_total = cin + (n_convs - 1) * growth
 
     pad_bottom = (n_bands + n_in_blocks - 1) * rows - h - halo
-    pad = lambda a: jnp.pad(                                  # noqa: E731
-        a, ((0, 0), (0, 0), (halo, pad_bottom), (0, 0)))
-    srcs = [pad(x)] + [pad(a) for a in acts]
+    flat = lambda a: jnp.pad(                                 # noqa: E731
+        a, ((0, 0), (0, 0), (halo, pad_bottom), (0, 0))).reshape(
+        a.shape[0], a.shape[1], -1)
+    srcs = [flat(x)] + [flat(a) for a in acts]
+    g_flat = g.reshape(batch, filters, h * w)
     wps = [pack_weights_cf(wk).astype(x.dtype) for wk in weights]
 
     kern = functools.partial(
-        _kernel3_bwd, rows=rows, width=w, n_convs=n_convs, growth=growth,
+        _kernel5_bwd, rows=rows, width=w, n_convs=n_convs, growth=growth,
         filters=filters, res_scale=res_scale, slope=slope, h_img=h,
         n_in_blocks=n_in_blocks, cin=cin)
 
     def in_block(chans, off):
-        return pl.BlockSpec((1, chans, rows, w),
-                            lambda b, i, o=off: (b, 0, i + o, 0),
+        return pl.BlockSpec((1, chans, rows * w),
+                            lambda b, i, o=off: (b, 0, i + o),
                             memory_space=pltpu.VMEM)
 
     in_specs = []
     for j in range(n_convs):
         chans = cin if j == 0 else growth
         in_specs += [in_block(chans, o) for o in range(n_in_blocks)]
-    in_specs.append(pl.BlockSpec((1, cin, rows, w),
-                                 lambda b, i: (b, 0, i, 0),
+    in_specs.append(pl.BlockSpec((1, filters, rows * w),
+                                 lambda b, i: (b, 0, i),
                                  memory_space=pltpu.VMEM))
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_convs
 
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shapes = [jax.ShapeDtypeStruct(
-        (batch, n_bands, cin, band_rows, w), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, 1, cin, band_rows, w),
-                              lambda b, i: (b, i, 0, 0, 0),
+        (batch, n_bands, cin, band_rows * w), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, 1, cin, band_rows * w),
+                              lambda b, i: (b, i, 0, 0),
                               memory_space=pltpu.VMEM)]
     for k in range(n_convs):
         cout = filters if k == n_convs - 1 else growth
@@ -215,6 +228,7 @@ def fused_dense_block_cf3_bwd(x, acts, weights, g, *, rows: int,
         out_shapes.append(jax.ShapeDtypeStruct((1, cout), jnp.float32))
         out_specs.append(const)
 
+    m_max = (rows + 2 * (halo - 1)) * w
     flops = 2 * 2 * batch * h * w * sum(9 * wk.shape[2] * wk.shape[3]
                                         for wk in weights)
     res = pl.pallas_call(
@@ -224,15 +238,13 @@ def fused_dense_block_cf3_bwd(x, acts, weights, g, *, rows: int,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((c_total, band_rows * w), x.dtype),      # feats
-            pltpu.VMEM((c_total, band_rows * w), jnp.float32),  # dfeats
-            pltpu.VMEM((9 * max(filters, growth), band_rows * w),
-                       x.dtype),                                # dz
-            pltpu.VMEM((filters, rows * w), jnp.float32),       # g flat
+            pltpu.VMEM((c_total, n_in_blocks * rows * w), x.dtype),  # feats
+            pltpu.VMEM((c_total, band_rows * w), jnp.float32),   # dfeats
+            pltpu.VMEM((3 * max(filters, growth), m_max), x.dtype),  # dacc
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size * 8, transcendentals=0),
-    )(*[s for src in srcs for s in [src] * n_in_blocks], g, *wps)
+    )(*[s for src in srcs for s in [src] * n_in_blocks], g_flat, *wps)
 
     dxw = res[0]
     dw9s = res[1:1 + n_convs]
@@ -241,6 +253,7 @@ def fused_dense_block_cf3_bwd(x, acts, weights, g, *, rows: int,
     # overlap-add the widened per-band input gradients (halo rows of
     # neighboring bands both contribute to the same input rows)
     h_pad = (n_bands + n_in_blocks - 1) * rows
+    dxw = dxw.reshape(batch, n_bands, cin, band_rows, w)
     dx_pad = jnp.zeros((batch, cin, h_pad + halo, w), jnp.float32)
     for i in range(n_bands):
         dx_pad = jax.lax.dynamic_update_slice(
@@ -254,29 +267,87 @@ def fused_dense_block_cf3_bwd(x, acts, weights, g, *, rows: int,
     return dx, dws, dbs
 
 
+def _bwd_rows(h: int, w: int, rows_fwd: int) -> int:
+    """The backward bands independently of the forward (it recomputes
+    from full-plane residuals) — its fp32 dfeats scratch is the VMEM
+    hog, so cap rows·w at 2048 lanes (vs the forward's 4096)."""
+    for r in (32, 16, 8):
+        if h % r == 0 and r * w <= 2048:
+            return r
+    return min(rows_fwd, 8)
+
+
+def _lax_dense_block(x, weights, biases, res_scale, slope):
+    """Reference lax dense block on NCHW input — the differentiation
+    path for widths where the Mosaic backward loses (see
+    ``dense_block_cf_train``)."""
+    prec = (jax.lax.Precision.HIGHEST
+            if jnp.dtype(x.dtype) == jnp.float32 else None)
+    feats = jnp.transpose(x, (0, 2, 3, 1))
+    res_in = feats
+    out = feats
+    for k, (w, b) in enumerate(zip(weights, biases)):
+        out = jax.lax.conv_general_dilated(
+            feats, w.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=prec) + b.astype(x.dtype)
+        if k < len(weights) - 1:
+            out = jnp.where(out >= 0, out, slope * out)
+            feats = jnp.concatenate([feats, out], -1)
+    y = res_in + res_scale * out
+    return jnp.transpose(y, (0, 3, 1, 2)).astype(x.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def dense_block_cf_train(x, weights, biases, rows, res_scale, slope):
-    """Differentiable fused dense block: Pallas forward AND backward.
-    ``weights``/``biases`` are lists; grads flow to all three inputs.
-    Forward is kernel v5 (dy-in-K/dx-in-M — the fastest measured variant,
-    BENCHNOTES.md); the backward kernel consumes only the saved
-    (x, weights, activations) residuals, so it is forward-agnostic."""
-    return fused_dense_block_cf5(x, list(weights), list(biases), rows=rows,
-                                 res_scale=res_scale, slope=slope)
+    """Differentiable fused dense block.  ``weights``/``biases`` are
+    lists; grads flow to all three inputs.
+
+    The primal (inference) path always runs the v5 Pallas kernel,
+    SPMD-partitioned on the batch dim (ops/pallas/partitioned.py) so
+    batch-sharded DP inference runs it per shard instead of gathering.
+
+    Under differentiation the route is width-dependent, from on-chip
+    measurement (BENCHNOTES.md round 2, L2-cotangent fwd+bwd):
+
+    - ``W % 128 == 0`` (inference-tile geometry): Pallas forward AND the
+      hand-written Mosaic backward — 1.42× faster than lax autodiff
+      (73.9 vs 51.9 TF/s at 8×64×128²).
+    - other widths (e.g. the 48-px LR of 192² training patches): the dy
+      window offsets ``(k+dy)·W`` are not lane-aligned, every matmul
+      operand pays a relayout, and the Mosaic backward loses 1.3× — so
+      differentiation runs the plain lax block (fwd+bwd) instead, at
+      identical param semantics.
+    """
+    from super_resolution_tpu.ops.pallas.partitioned import (
+        partitioned_dense_block,
+    )
+
+    fn = partitioned_dense_block(len(weights), rows, res_scale, slope)
+    return fn(x, *weights, *biases)
 
 
 def _train_fwd(x, weights, biases, rows, res_scale, slope):
-    y, acts = fused_dense_block_cf5(x, list(weights), list(biases),
-                                    rows=rows, res_scale=res_scale,
-                                    slope=slope, save_acts=True)
-    return y, (x, tuple(weights), tuple(acts))
+    if x.shape[3] % 128 == 0:
+        y, acts = fused_dense_block_cf5(x, list(weights), list(biases),
+                                        rows=rows, res_scale=res_scale,
+                                        slope=slope, save_acts=True)
+        return y, (x, tuple(weights), tuple(acts), None)
+    y, vjp_fn = jax.vjp(
+        lambda xx, ws, bs: _lax_dense_block(xx, ws, bs, res_scale, slope),
+        x, list(weights), list(biases))
+    return y, (None, None, None, vjp_fn)
 
 
 def _train_bwd(rows, res_scale, slope, residuals, g):
-    x, weights, acts = residuals
-    dx, dws, dbs = fused_dense_block_cf3_bwd(
-        x, list(acts), list(weights), g, rows=rows, res_scale=res_scale,
-        slope=slope)
+    x, weights, acts, lax_vjp = residuals
+    if lax_vjp is not None:
+        dx, dws, dbs = lax_vjp(g)
+        return dx, list(dws), list(dbs)
+    dx, dws, dbs = fused_dense_block_cf5_bwd(
+        x, list(acts), list(weights), g,
+        rows=_bwd_rows(x.shape[2], x.shape[3], rows),
+        res_scale=res_scale, slope=slope)
     # cotangent dtypes must match the primal inputs (weights may be bf16)
     dws = [d.astype(w.dtype) for d, w in zip(dws, weights)]
     dbs = [db.astype(jnp.float32) for db in dbs]

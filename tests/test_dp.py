@@ -120,3 +120,36 @@ def test_mesh_construction_errors():
 
     with pytest.raises(ValueError, match="need 16 devices"):
         make_mesh(16)
+
+
+def test_partitioned_dense_block_matches_single_device():
+    """DP × Pallas (round 2): the custom_partitioning'd fused dense block
+    under a batch-sharded 8-device jit must equal the single-device
+    kernel — the partition rule runs the kernel per shard (no gather)."""
+    from super_resolution_tpu.ops.pallas.partitioned import (
+        partitioned_dense_block,
+    )
+
+    nf, gc, rows = 16, 8, 8
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, nf, 16, 16).astype(np.float32))
+    ws, bs, cin = [], [], nf
+    for k in range(5):
+        co = nf if k == 4 else gc
+        ws.append(jnp.asarray(
+            rng.randn(3, 3, cin, co).astype(np.float32) * 0.1))
+        bs.append(jnp.asarray(rng.randn(co).astype(np.float32) * 0.1))
+        if k < 4:
+            cin += co
+
+    fn = partitioned_dense_block(5, rows, 0.2, 0.2, interpret=True)
+    single = np.asarray(jax.jit(fn)(x, *ws, *bs))
+
+    mesh = make_mesh(8)
+    xs = jax.device_put(x, batch_sharded(mesh))
+    wrep = [jax.device_put(w, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec())) for w in ws]
+    brep = [jax.device_put(b, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec())) for b in bs]
+    sharded = np.asarray(jax.jit(fn)(xs, *wrep, *brep))
+    np.testing.assert_allclose(sharded, single, atol=1e-5, rtol=1e-5)

@@ -375,6 +375,47 @@ def test_dense_block_cf_custom_vjp_matches_lax_grads():
                                    atol=5e-4, rtol=1e-4)
 
 
+def test_dense_block_cf_kernel_bwd_aligned_width():
+    """W % 128 == 0 routes differentiation through the hand-written
+    Mosaic backward (unaligned widths use the lax path instead — the
+    width-dependent VJP routing measured in BENCHNOTES.md round 2).
+    Grads must match lax to fp32 tolerance."""
+    from super_resolution_tpu.ops.pallas.dense_block_cf_vjp import (
+        dense_block_cf_train,
+    )
+
+    nf, gc, rows = 8, 4, 8
+    ws, bs = [], []
+    cin = nf
+    for k in range(5):
+        cout = nf if k == 4 else gc
+        ws.append(jax.random.normal(jax.random.key(70 + k),
+                                    (3, 3, cin, cout), jnp.float32) * 0.1)
+        bs.append(jax.random.normal(jax.random.key(80 + k), (cout,),
+                                    jnp.float32) * 0.1)
+        cin += gc
+    x = jax.random.normal(jax.random.key(9), (1, nf, 16, 128),
+                          jnp.float32)
+    tgt = jax.random.normal(jax.random.key(10), x.shape, jnp.float32)
+
+    def loss_ref(x, ws, bs):
+        y = _ref_dense_block(jnp.transpose(x, (0, 2, 3, 1)), ws, bs)
+        return jnp.sum((jnp.transpose(y, (0, 3, 1, 2)) - tgt) ** 2)
+
+    def loss_ker(x, ws, bs):
+        return jnp.sum((dense_block_cf_train(x, ws, bs, rows, 0.2, 0.2)
+                        - tgt) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, ws, bs)
+    with pltpu.force_tpu_interpret_mode():
+        gk = jax.grad(loss_ker, argnums=(0, 1, 2))(x, ws, bs)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                               atol=2e-4, rtol=1e-4)
+    for a, b in zip(gk[1], gr[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
+
+
 def test_training_through_pallas_cf_kernel():
     """conv_impl='pallas_cf' now trains THROUGH the fused kernel (custom
     VJP) on a single chip: one pretrain step matches the lax-path step
