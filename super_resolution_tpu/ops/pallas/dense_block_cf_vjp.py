@@ -277,48 +277,25 @@ def _bwd_rows(h: int, w: int, rows_fwd: int) -> int:
     return min(rows_fwd, 8)
 
 
-def _lax_dense_block(x, weights, biases, res_scale, slope):
-    """Reference lax dense block on NCHW input — the differentiation
-    path for widths where the Mosaic backward loses (see
-    ``dense_block_cf_train``)."""
-    prec = (jax.lax.Precision.HIGHEST
-            if jnp.dtype(x.dtype) == jnp.float32 else None)
-    feats = jnp.transpose(x, (0, 2, 3, 1))
-    res_in = feats
-    out = feats
-    for k, (w, b) in enumerate(zip(weights, biases)):
-        out = jax.lax.conv_general_dilated(
-            feats, w.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=prec) + b.astype(x.dtype)
-        if k < len(weights) - 1:
-            out = jnp.where(out >= 0, out, slope * out)
-            feats = jnp.concatenate([feats, out], -1)
-    y = res_in + res_scale * out
-    return jnp.transpose(y, (0, 3, 1, 2)).astype(x.dtype)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def dense_block_cf_train(x, weights, biases, rows, res_scale, slope):
-    """Differentiable fused dense block.  ``weights``/``biases`` are
-    lists; grads flow to all three inputs.
+    """Differentiable fused dense block: Pallas forward AND backward
+    (both v5 geometry).  ``weights``/``biases`` are lists; grads flow to
+    all three inputs.
 
-    The primal (inference) path always runs the v5 Pallas kernel,
-    SPMD-partitioned on the batch dim (ops/pallas/partitioned.py) so
-    batch-sharded DP inference runs it per shard instead of gathering.
+    The primal (inference) path is SPMD-partitioned on the batch dim
+    (ops/pallas/partitioned.py), so batch-sharded DP inference runs the
+    kernel per shard instead of gathering.
 
-    Under differentiation the route is width-dependent, from on-chip
-    measurement (BENCHNOTES.md round 2, L2-cotangent fwd+bwd):
-
-    - ``W % 128 == 0`` (inference-tile geometry): Pallas forward AND the
-      hand-written Mosaic backward — 1.42× faster than lax autodiff
-      (73.9 vs 51.9 TF/s at 8×64×128²).
-    - other widths (e.g. the 48-px LR of 192² training patches): the dy
-      window offsets ``(k+dy)·W`` are not lane-aligned, every matmul
-      operand pays a relayout, and the Mosaic backward loses 1.3× — so
-      differentiation runs the plain lax block (fwd+bwd) instead, at
-      identical param semantics.
-    """
+    Measured routing note (BENCHNOTES.md round 2, L2-cotangent fwd+bwd):
+    the Mosaic backward wins 1.42× over lax autodiff at W % 128 == 0
+    (73.9 vs 51.9 TF/s at 8×64×128²) but loses 1.3× at unaligned widths
+    (the dy window offsets (k+dy)·W relayout every matmul operand) —
+    so ``train/steps._training_cfg`` keeps ``pallas_cf`` for training
+    only when the LR patch width is a multiple of 128 and falls back to
+    lax otherwise.  Inference (no grad) uses the kernel at any
+    supported width.  Differentiating this op at an unaligned width is
+    still *correct*, just slower than lax."""
     from super_resolution_tpu.ops.pallas.partitioned import (
         partitioned_dense_block,
     )
@@ -328,22 +305,14 @@ def dense_block_cf_train(x, weights, biases, rows, res_scale, slope):
 
 
 def _train_fwd(x, weights, biases, rows, res_scale, slope):
-    if x.shape[3] % 128 == 0:
-        y, acts = fused_dense_block_cf5(x, list(weights), list(biases),
-                                        rows=rows, res_scale=res_scale,
-                                        slope=slope, save_acts=True)
-        return y, (x, tuple(weights), tuple(acts), None)
-    y, vjp_fn = jax.vjp(
-        lambda xx, ws, bs: _lax_dense_block(xx, ws, bs, res_scale, slope),
-        x, list(weights), list(biases))
-    return y, (None, None, None, vjp_fn)
+    y, acts = fused_dense_block_cf5(x, list(weights), list(biases),
+                                    rows=rows, res_scale=res_scale,
+                                    slope=slope, save_acts=True)
+    return y, (x, tuple(weights), tuple(acts))
 
 
 def _train_bwd(rows, res_scale, slope, residuals, g):
-    x, weights, acts, lax_vjp = residuals
-    if lax_vjp is not None:
-        dx, dws, dbs = lax_vjp(g)
-        return dx, list(dws), list(dbs)
+    x, weights, acts = residuals
     dx, dws, dbs = fused_dense_block_cf5_bwd(
         x, list(acts), list(weights), g,
         rows=_bwd_rows(x.shape[2], x.shape[3], rows),

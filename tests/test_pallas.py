@@ -417,9 +417,11 @@ def test_dense_block_cf_kernel_bwd_aligned_width():
 
 
 def test_training_through_pallas_cf_kernel():
-    """conv_impl='pallas_cf' now trains THROUGH the fused kernel (custom
-    VJP) on a single chip: one pretrain step matches the lax-path step
-    to fp32 tolerance, params included."""
+    """conv_impl='pallas_cf' trains THROUGH the fused kernel (custom
+    VJP) on a single chip when the LR width is lane-aligned: one
+    pretrain step matches the lax-path step to fp32 tolerance, params
+    included.  Unaligned widths and DP fall back to lax (measured
+    routing, BENCHNOTES.md round 2)."""
     import sys
     sys.path.insert(0, "tests")
     from test_train import tiny_cfg
@@ -434,11 +436,15 @@ def test_training_through_pallas_cf_kernel():
     cfg = dataclasses.replace(
         base, generator=dataclasses.replace(base.generator,
                                             conv_impl="pallas_cf"))
-    # single-chip: the kernel path survives _training_cfg now
-    assert _training_cfg(cfg).generator.conv_impl == "pallas_cf"
-    # under DP the kernel is opaque to the partitioner -> lax
+    # single-chip aligned width (LR 512/4 = 128): kernel path survives
+    aligned = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, hr_patch=512))
+    assert _training_cfg(aligned).generator.conv_impl == "pallas_cf"
+    # unaligned training width (tiny_cfg default): measured slower -> lax
+    assert _training_cfg(cfg).generator.conv_impl == "lax"
+    # under DP grads need a psum the partitioned fwd lacks -> lax
     assert _training_cfg(dataclasses.replace(
-        cfg, data_parallel=8)).generator.conv_impl == "lax"
+        aligned, data_parallel=8)).generator.conv_impl == "lax"
 
     batch = jnp.asarray(next(iter(SyntheticPatches(cfg.data, seed=0))))
     state = init_state(cfg)
