@@ -69,6 +69,14 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--skip_pretrain", action="store_true",
                     help="reuse the existing pretrain checkpoint")
+    ap.add_argument("--gan_pixel", type=float, default=1e-2,
+                    help="lambda_pixel for the GAN phase (the ESRGAN "
+                         "default 1e-2 assumes a FIXED VGG feature space; "
+                         "the D-feature substitute is nonstationary and "
+                         "needs a stronger pixel anchor)")
+    ap.add_argument("--gan_lr_d", type=float, default=1e-4)
+    ap.add_argument("--gan_suffix", default="",
+                    help="suffix for the GAN checkpoint/log dirs (ablations)")
     args = ap.parse_args()
 
     import dataclasses
@@ -131,11 +139,12 @@ def main():
             generator=GeneratorConfig(n_blocks=args.blocks),
             data=cfg.data,
             loss=LossConfig(perceptual_source="d_features",
-                            lambda_percep=1.0),
+                            lambda_percep=1.0,
+                            lambda_pixel=args.gan_pixel),
             optim_g=OptimConfig(lr=1e-4),
-            optim_d=OptimConfig(lr=1e-4),
+            optim_d=OptimConfig(lr=args.gan_lr_d),
             warmup_batches=0,
-            checkpoint_dir=os.path.join(root, "ck_gan"),
+            checkpoint_dir=os.path.join(root, "ck_gan" + args.gan_suffix),
             checkpoint_interval=args.gan_steps,
             sample_interval=max(200, args.gan_steps // 4),
         )
@@ -144,8 +153,10 @@ def main():
               "from the PSNR checkpoint)...")
         gan_state = train(gan_cfg, total_steps=args.gan_steps,
                           init_g_from=cfg.checkpoint_dir,
-                          log_dir=os.path.join(root, "logs_gan"),
-                          sample_dir=os.path.join(root, "samples_gan"),
+                          log_dir=os.path.join(root,
+                                               "logs_gan" + args.gan_suffix),
+                          sample_dir=os.path.join(
+                              root, "samples_gan" + args.gan_suffix),
                           eval_dir=val_dir,
                           eval_interval=max(250, args.gan_steps // 4))
         models["gan"] = jax.device_get(gan_state.g_params)
