@@ -151,7 +151,9 @@ def _add_common(p: argparse.ArgumentParser):
                             "pallas_cf_tail"),
                    help="generator conv implementation; pallas_cf is the "
                         "fastest measured inference path on TPU "
-                        "(BENCHNOTES.md); training always uses lax")
+                        "(BENCHNOTES.md); training uses it only when the "
+                        "LR patch width is a multiple of 128 (measured "
+                        "win), else lax")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--vgg_weights", default=None,
                    help="npz from tools/convert_vgg.py")
@@ -248,6 +250,26 @@ def main(argv=None):
     u.add_argument("--self_ensemble", action="store_true",
                    help="x8 flip/rotation test-time augmentation")
 
+    # ---- serve ----
+    sv = sub.add_parser("serve",
+                        help="persistent compiled model over a frame "
+                             "stream: watch a directory, upscale new "
+                             "frames as they appear")
+    _add_common(sv)
+    sv.add_argument("--checkpoint", required=True)
+    sv.add_argument("--watch", required=True,
+                    help="directory to watch for incoming LR frames")
+    sv.add_argument("--out", required=True, help="output directory")
+    sv.add_argument("--tile", type=int, default=128)
+    sv.add_argument("--halo", type=int, default=8)
+    sv.add_argument("--tile_batch", type=int, default=8)
+    sv.add_argument("--poll", type=float, default=0.5,
+                    help="poll interval, seconds")
+    sv.add_argument("--once", action="store_true",
+                    help="drain the current backlog and exit")
+    sv.add_argument("--max_frames", type=int, default=None,
+                    help="exit after N frames (default: run forever)")
+
     # ---- interp ----
     i = sub.add_parser("interp", help="network interpolation (ESRGAN §3.4)")
     _add_common(i)
@@ -339,6 +361,33 @@ def main(argv=None):
                                               f"{cfg.generator.scale}.png"))
         else:
             upscale_one(args.image, args.out)
+        return 0
+
+    if args.cmd == "serve":
+        import jax.numpy as jnp
+
+        from super_resolution_tpu.data import normalize, to_uint8_image
+        from super_resolution_tpu.parallel import tiled_upscale
+        from super_resolution_tpu.serve import serve_watch
+        from super_resolution_tpu.train.steps import make_infer_fn
+
+        g_params, cfg = _load_generator(args, cfg)
+        infer = make_infer_fn(cfg)
+        mean, std = cfg.data.normalize_mean, cfg.data.normalize_std
+
+        def upscale_u8(lr_u8):
+            lrn = normalize(jnp.asarray(lr_u8, jnp.float32) / 255.0,
+                            mean, std)
+            srn = tiled_upscale(lambda x: infer(g_params, x), lrn,
+                                scale=cfg.generator.scale, tile=args.tile,
+                                halo=args.halo,
+                                tile_batch=args.tile_batch)
+            return np.asarray(to_uint8_image(srn, cfg.data))
+
+        n = serve_watch(upscale_u8, args.watch, args.out,
+                        scale=cfg.generator.scale, poll_s=args.poll,
+                        once=args.once, max_frames=args.max_frames)
+        print(f"[serve] processed {n} frames")
         return 0
 
     if args.cmd == "interp":

@@ -1,0 +1,129 @@
+"""Watch-directory serving: a persistent compiled model over a frame
+stream.
+
+Production detector pipelines drop frames into a directory; this mode
+keeps ONE process alive with the generator compiled once (first frame
+pays the ~30 s XLA compile, every later frame reuses the executable and
+runs at full chip rate) and upscales each new frame as it appears.
+Contrast with re-invoking ``cli upscale`` per frame, which would pay the
+compile every time — on TPU the compile dominates single-frame latency
+by two orders of magnitude, so a resident server IS the deployment
+story (SURVEY.md §1 L6; ROADMAP serving item).
+
+Mechanics: poll the watch dir (os.scandir — cheap; no inotify
+dependency), claim each unprocessed image by its (name, mtime, size)
+signature, upscale through the tiled path (fixed tile shapes → no
+recompiles regardless of frame size), write ``<stem>_x<scale>.png`` to
+the output dir, and append a JSONL record (frame, shapes, seconds,
+MP/s) to ``serve_log.jsonl``.  A frame is reprocessed if its file
+changes (new mtime/size).  Files still being written are skipped until
+their size is stable across two polls.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp")
+
+
+def _signature(path: str) -> Optional[Tuple[float, int]]:
+    try:
+        st = os.stat(path)
+        return (st.st_mtime, st.st_size)
+    except OSError:
+        return None
+
+
+def _scan(watch_dir: str) -> Dict[str, Tuple[float, int]]:
+    out = {}
+    try:
+        with os.scandir(watch_dir) as it:
+            for e in it:
+                if e.is_file() and e.name.lower().endswith(IMAGE_EXTS):
+                    st = e.stat()
+                    out[e.path] = (st.st_mtime, st.st_size)
+    except FileNotFoundError:
+        pass
+    return out
+
+
+def serve_watch(
+        upscale_fn: Callable[[np.ndarray], np.ndarray],
+        watch_dir: str,
+        out_dir: str,
+        scale: int = 4,
+        poll_s: float = 0.5,
+        once: bool = False,
+        max_frames: Optional[int] = None,
+        log_path: Optional[str] = None,
+) -> int:
+    """Run the watch loop.  ``upscale_fn``: uint8 HWC LR → uint8 HWC SR.
+    ``once`` drains the current backlog and returns; otherwise loops
+    until ``max_frames`` processed (None = forever).  Returns the number
+    of frames processed."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    log_path = log_path or os.path.join(out_dir, "serve_log.jsonl")
+    done: Dict[str, Tuple[float, int]] = {}
+    pending: Dict[str, Tuple[float, int]] = {}
+    n = 0
+
+    while True:
+        seen = _scan(watch_dir)
+        for path, sig in sorted(seen.items()):
+            if done.get(path) == sig:
+                continue
+            stem, _ = os.path.splitext(os.path.basename(path))
+            dst = os.path.join(out_dir, f"{stem}_x{scale}.png")
+            # restart resilience: an output at least as new as the input
+            # counts as processed (the in-process `done` map dies with
+            # the process; the filesystem is the durable record)
+            dsig = _signature(dst)
+            if dsig is not None and dsig[0] >= sig[0]:
+                done[path] = sig
+                continue
+            # require a stable signature across two polls so half-written
+            # frames are not decoded
+            if not once and pending.get(path) != sig:
+                pending[path] = sig
+                continue
+            pending.pop(path, None)
+
+            sig2 = _signature(path)
+            if sig2 is None:
+                continue
+            with Image.open(path) as im:
+                lr_u8 = np.asarray(im.convert("RGB"))
+            t0 = time.perf_counter()
+            sr_u8 = upscale_fn(lr_u8)
+            dt = time.perf_counter() - t0
+            Image.fromarray(np.asarray(sr_u8)).save(dst)
+            done[path] = sig2
+            n += 1
+            rec = {
+                "frame": os.path.basename(path),
+                "lr": list(lr_u8.shape[:2]),
+                "sr": list(np.asarray(sr_u8).shape[:2]),
+                "seconds": round(dt, 4),
+                "mp_per_sec": round(
+                    sr_u8.shape[0] * sr_u8.shape[1] / 1e6 / max(dt, 1e-9),
+                    3),
+            }
+            with open(log_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(f"[serve] {rec['frame']}: {lr_u8.shape[1]}x"
+                  f"{lr_u8.shape[0]} → {sr_u8.shape[1]}x{sr_u8.shape[0]} "
+                  f"in {dt:.2f}s ({rec['mp_per_sec']} MP/s)", flush=True)
+            if max_frames is not None and n >= max_frames:
+                return n
+
+        if once:
+            return n
+        time.sleep(poll_s)

@@ -123,3 +123,41 @@ def test_train_with_inloop_eval(env, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "[eval step 2]" in out and "psnr_rgb=" in out
+
+
+def test_serve_watch_drains_backlog(tmp_path):
+    """`cli serve --once`: the persistent-model watch loop upscales every
+    frame in the watch dir, writes outputs + a JSONL log, and skips
+    already-processed frames on a second pass (ROADMAP serving mode)."""
+    import json
+
+    from PIL import Image
+
+    torch.manual_seed(0)
+    small_pth = str(tmp_path / "sg.pth")
+    torch.save(RRDBNetTorch(nf=16, nb=1, gc=8).state_dict(), small_pth)
+    watch = tmp_path / "incoming"
+    out = tmp_path / "sr"
+    watch.mkdir()
+    rng = np.random.RandomState(3)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 256, (24, 32, 3), dtype=np.uint8)
+                        ).save(watch / f"f{i}.png")
+
+    rc = main(["serve", "--checkpoint", small_pth, "--watch", str(watch),
+               "--out", str(out), "--once", "--tile", "48",
+               "--dtype", "float32"])
+    assert rc == 0
+    for i in range(2):
+        with Image.open(out / f"f{i}_x4.png") as im:
+            assert im.size == (128, 96)
+    log = [json.loads(l) for l in
+           (out / "serve_log.jsonl").read_text().splitlines()]
+    assert len(log) == 2 and all(r["sr"] == [96, 128] for r in log)
+
+    # second pass: nothing new to process, log unchanged
+    rc = main(["serve", "--checkpoint", small_pth, "--watch", str(watch),
+               "--out", str(out), "--once", "--tile", "48",
+               "--dtype", "float32"])
+    assert rc == 0
+    assert len((out / "serve_log.jsonl").read_text().splitlines()) == 2
