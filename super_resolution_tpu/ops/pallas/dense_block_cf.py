@@ -455,6 +455,10 @@ def _kernel5(*refs, rows, width, n_convs, growth, filters,
             wdy = w_refs[k][dy * 3 * cout:(dy + 1) * 3 * cout, 0:coff]
             d = jnp.dot(wdy, part, preferred_element_type=jnp.float32)
             acc = d if acc is None else acc + d          # (3F, m_out)
+        # NOTE: a bf16 epilogue (cast acc before the rolls to halve the
+        # post-matmul traffic) is blocked by the toolchain: Mosaic's
+        # tpu.dynamic_rotate only supports 32-bit element types
+        # ("Rotate with non-32-bit data").
 
         # dx taps: three shift-adds (lane rolls + edge-column masks)
         col = col_max[:, :m_out]
@@ -552,6 +556,138 @@ def fused_dense_block_cf5(x: jnp.ndarray,
     if save_acts:
         return unflat(res[0]), [unflat(a) for a in res[1:]]
     return unflat(res)
+
+
+# ---------------------------------------------------------------------------
+# v6: dy-in-K via an explicit extended operand — instead of v5's three
+# K-accumulated dots per conv, copy the three dy windows into one
+# (3·C, m_out) VMEM operand (aligned big stores) and contract once with
+# K = 3·C.  Trades 3 copies of the input window for ~19% fewer MXU
+# K-passes at canonical widths (K=192/288/384/480/576 → 2/3/3/4/5 passes
+# vs 3/3/3/6/6) and a single f32 accumulator write instead of three.
+# ---------------------------------------------------------------------------
+
+
+def pack_weights_v6(w_hwio: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, F) HWIO → (3F, 3C): row dx·F + f, col dy·C + c."""
+    k_h, k_w, c, f = w_hwio.shape
+    assert (k_h, k_w) == (3, 3), w_hwio.shape
+    return jnp.transpose(w_hwio, (1, 3, 0, 2)).reshape(3 * f, 3 * c)
+
+
+def _kernel6(*refs, rows, width, n_convs, growth, filters,
+             res_scale, slope, h_img, n_in_blocks, cin):
+    blocks = refs[:n_in_blocks]
+    w_refs = refs[n_in_blocks:n_in_blocks + n_convs]
+    b_refs = refs[n_in_blocks + n_convs:n_in_blocks + 2 * n_convs]
+    o_ref = refs[n_in_blocks + 2 * n_convs]
+    feat_ref, ext_ref = refs[-2:]
+    band_row0 = pl.program_id(1) * rows
+
+    halo = n_convs
+    for j, b in enumerate(blocks):
+        feat_ref[0:cin, j * rows * width:(j + 1) * rows * width] = b[0]
+    dtype = blocks[0].dtype
+
+    m_max = (rows + 2 * (halo - 1)) * width
+    lane_max = jax.lax.broadcasted_iota(jnp.int32, (1, m_max), 1)
+    col_max = lane_max % width
+
+    coff = cin
+    for k in range(n_convs):
+        last = k == n_convs - 1
+        cout = filters if last else growth
+        out_rows = rows + 2 * (halo - k - 1)
+        m_out = out_rows * width
+        row0 = band_row0 - (halo - k - 1)
+
+        # extended operand: ext[dy·coff + c, p] = feats[c, p + (k+dy)·W]
+        for dy in range(3):
+            ext_ref[dy * coff:(dy + 1) * coff, 0:m_out] = \
+                feat_ref[0:coff, (k + dy) * width:(k + dy) * width + m_out]
+        acc = jnp.dot(w_refs[k][:, 0:3 * coff],
+                      ext_ref[0:3 * coff, 0:m_out],
+                      preferred_element_type=jnp.float32)   # (3F, m_out)
+
+        col = col_max[:, :m_out]
+        mid = acc[cout:2 * cout]
+        left = jnp.where(col > 0, pltpu.roll(acc[0:cout], 1, 1), 0.0)
+        right = jnp.where(col < width - 1,
+                          pltpu.roll(acc[2 * cout:3 * cout],
+                                     m_out - 1, 1), 0.0)
+        out = left + mid + right + b_refs[k][0][:, None]
+        if not last:
+            out = jnp.where(out >= 0, out, slope * out)
+        g_row = (lane_max[:, :m_out] // width) + row0
+        out = jnp.where((g_row >= 0) & (g_row < h_img), out, 0.0)
+        out = out.astype(dtype)
+
+        if last:
+            x_center = feat_ref[0:cin,
+                                halo * width:(halo + rows) * width]
+            y = x_center.astype(jnp.float32) + res_scale * \
+                out.astype(jnp.float32)
+            o_ref[:] = y[None].astype(o_ref.dtype)
+        else:
+            feat_ref[coff:coff + cout,
+                     (k + 1) * width:(k + 1 + out_rows) * width] = out
+            coff += cout
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope"))
+def fused_dense_block_cf6(x: jnp.ndarray,
+                          weights: Sequence[jnp.ndarray],
+                          biases: Sequence[jnp.ndarray],
+                          *, rows: int = 16, res_scale: float = 0.2,
+                          slope: float = 0.2):
+    """dy-extended-operand fused dense block; same contract as
+    :func:`fused_dense_block_cf`."""
+    batch, cin, h, w = x.shape
+    n_convs = len(weights)
+    growth = weights[0].shape[-1]
+    filters = weights[-1].shape[-1]
+    assert h % rows == 0 and rows >= 5, (h, rows)
+    n_bands = h // rows
+    halo = n_convs
+    n_in_blocks = -(-(rows + 2 * halo) // rows)
+
+    pad_bottom = (n_bands + n_in_blocks - 1) * rows - h - halo
+    x_flat = jnp.pad(x, ((0, 0), (0, 0), (halo, pad_bottom), (0, 0))) \
+        .reshape(batch, cin, -1)
+
+    wps = [pack_weights_v6(wk).astype(x.dtype) for wk in weights]
+    b2 = [bk.reshape(1, -1).astype(jnp.float32) for bk in biases]
+
+    kern = functools.partial(
+        _kernel6, rows=rows, width=w, n_convs=n_convs,
+        growth=growth, filters=filters, res_scale=res_scale, slope=slope,
+        h_img=h, n_in_blocks=n_in_blocks, cin=cin)
+
+    in_block = lambda off: pl.BlockSpec(                      # noqa: E731
+        (1, cin, rows * w), lambda b, i, o=off: (b, 0, i + o),
+        memory_space=pltpu.VMEM)
+
+    flops = 2 * batch * h * w * sum(9 * wk.shape[2] * wk.shape[3]
+                                    for wk in weights)
+    c_total = cin + (n_convs - 1) * growth
+    m_max = (rows + 2 * (halo - 1)) * w
+    res = pl.pallas_call(
+        kern,
+        grid=(batch, n_bands),
+        in_specs=[in_block(o) for o in range(n_in_blocks)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_convs),
+        out_specs=pl.BlockSpec((1, filters, rows * w),
+                               lambda b, i: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, filters, h * w), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c_total, n_in_blocks * rows * w), x.dtype),
+            pltpu.VMEM((3 * c_total, m_max), x.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=x.size * 4, transcendentals=0),
+    )(*([x_flat] * n_in_blocks), *wps, *b2)
+    return res.reshape(batch, filters, h, w)
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope"))

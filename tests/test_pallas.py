@@ -492,3 +492,35 @@ def test_rrdbnet_pallas_impl_matches_lax(impl):
         out = RRDBNet(cfg_pal).apply(v, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape,rows", [
+    ((1, 16, 40, 32), 8),
+    ((2, 32, 64, 32), 16),
+])
+def test_fused_dense_block_cf6_matches_lax(shape, rows):
+    """Kernel v6 (dy-extended operand: one K=3C matmul per conv) —
+    measured ≈ v5 within noise on-chip (BENCHNOTES.md); kept as a
+    documented experiment."""
+    from super_resolution_tpu.ops.pallas.dense_block_cf import (
+        fused_dense_block_cf6,
+    )
+
+    nf, gc = shape[-1], 16
+    ws, bs = [], []
+    cin = nf
+    for k in range(5):
+        cout = nf if k == 4 else gc
+        ws.append(jax.random.normal(jax.random.key(10 + k),
+                                    (3, 3, cin, cout), jnp.float32) * 0.05)
+        bs.append(jax.random.normal(jax.random.key(20 + k), (cout,),
+                                    jnp.float32) * 0.1)
+        cin += gc
+    x = jax.random.normal(jax.random.key(0), shape, jnp.float32)
+    ref = _ref_dense_block(x, ws, bs)
+    with pltpu.force_tpu_interpret_mode():
+        ycf = fused_dense_block_cf6(jnp.transpose(x, (0, 3, 1, 2)), ws,
+                                    bs, rows=rows)
+    out = jnp.transpose(ycf, (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)

@@ -50,6 +50,7 @@ def main():
         fused_dense_block_cf2,
         fused_dense_block_cf3,
         fused_dense_block_cf5,
+        fused_dense_block_cf6,
     )
 
     B, H = args.batch, args.hw
@@ -91,7 +92,8 @@ def main():
             ref = y
             continue
         fn = {"v3b": fused_dense_block_cf2, "v4": fused_dense_block_cf3,
-              "v5": fused_dense_block_cf5}[name]
+              "v5": fused_dense_block_cf5,
+              "v6": fused_dense_block_cf6}[name]
         for rows in (int(r) for r in args.rows.split(",")):
             if H % rows:
                 continue
