@@ -690,6 +690,160 @@ def fused_dense_block_cf6(x: jnp.ndarray,
     return res.reshape(batch, filters, h, w)
 
 
+# ---------------------------------------------------------------------------
+# v8: int8 MXU variant — Mosaic executes int8×int8→int32 matmuls ~1.5×
+# faster than bf16 on this chip (BENCHNOTES.md round-2 probe; round 1
+# only ruled out XLA-level int8 convs).  Quantization is fully dynamic,
+# no calibration assets: weights are quantized per output channel at
+# trace time (symmetric, scale = rowmax/127 of the packed layout), and
+# each conv's input window is quantized per band with a scale from an
+# in-kernel amax reduce.  The dy-extended operand (v6 geometry) is built
+# directly in int8 — half of v6's copy traffic — and the dequant
+# (acc · s_x · s_w[f]) fuses into the bias/LeakyReLU epilogue.
+# Inference-only accuracy class: ~1% relative per conv (int8 dynamic),
+# measured end-to-end as a PSNR delta before shipping as a flag.
+# ---------------------------------------------------------------------------
+
+
+def _kernel8(*refs, rows, width, n_convs, growth, filters,
+             res_scale, slope, h_img, n_in_blocks, cin):
+    blocks = refs[:n_in_blocks]
+    w_refs = refs[n_in_blocks:n_in_blocks + n_convs]
+    s_refs = refs[n_in_blocks + n_convs:n_in_blocks + 2 * n_convs]
+    b_refs = refs[n_in_blocks + 2 * n_convs:n_in_blocks + 3 * n_convs]
+    o_ref = refs[n_in_blocks + 3 * n_convs]
+    feat_ref, ext_ref = refs[-2:]
+    band_row0 = pl.program_id(1) * rows
+
+    halo = n_convs
+    for j, b in enumerate(blocks):
+        feat_ref[0:cin, j * rows * width:(j + 1) * rows * width] = b[0]
+    dtype = blocks[0].dtype
+
+    m_max = (rows + 2 * (halo - 1)) * width
+    lane_max = jax.lax.broadcasted_iota(jnp.int32, (1, m_max), 1)
+    col_max = lane_max % width
+
+    coff = cin
+    for k in range(n_convs):
+        last = k == n_convs - 1
+        cout = filters if last else growth
+        out_rows = rows + 2 * (halo - k - 1)
+        m_out = out_rows * width
+        row0 = band_row0 - (halo - k - 1)
+
+        # dynamic per-band activation scale from the conv's input window
+        win = feat_ref[0:coff, k * width:(k + 2) * width + m_out]
+        amax = jnp.max(jnp.abs(win.astype(jnp.float32)))
+        s_x = jnp.maximum(amax, 1e-6) / 127.0
+        inv_sx = 1.0 / s_x
+
+        # int8 dy-extended operand (quantize fused into the copies)
+        for dy in range(3):
+            src = feat_ref[0:coff,
+                           (k + dy) * width:(k + dy) * width + m_out]
+            q = jnp.clip(jnp.round(src.astype(jnp.float32) * inv_sx),
+                         -127.0, 127.0)
+            ext_ref[dy * coff:(dy + 1) * coff, 0:m_out] = \
+                q.astype(jnp.int8)
+
+        acc = jax.lax.dot_general(
+            w_refs[k][:, 0:3 * coff], ext_ref[0:3 * coff, 0:m_out],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)           # (3F, m_out)
+        # dequant: acc · s_x · s_w[f] (per-channel weight scales live in
+        # the same 3F row layout as acc)
+        accf = acc.astype(jnp.float32) * (s_refs[k][0][:, None] * s_x)
+
+        col = col_max[:, :m_out]
+        mid = accf[cout:2 * cout]
+        left = jnp.where(col > 0, pltpu.roll(accf[0:cout], 1, 1), 0.0)
+        right = jnp.where(col < width - 1,
+                          pltpu.roll(accf[2 * cout:3 * cout],
+                                     m_out - 1, 1), 0.0)
+        out = left + mid + right + b_refs[k][0][:, None]
+        if not last:
+            out = jnp.where(out >= 0, out, slope * out)
+        g_row = (lane_max[:, :m_out] // width) + row0
+        out = jnp.where((g_row >= 0) & (g_row < h_img), out, 0.0)
+        out = out.astype(dtype)
+
+        if last:
+            x_center = feat_ref[0:cin,
+                                halo * width:(halo + rows) * width]
+            y = x_center.astype(jnp.float32) + res_scale * \
+                out.astype(jnp.float32)
+            o_ref[:] = y[None].astype(o_ref.dtype)
+        else:
+            feat_ref[coff:coff + cout,
+                     (k + 1) * width:(k + 1 + out_rows) * width] = out
+            coff += cout
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope"))
+def fused_dense_block_cf8(x: jnp.ndarray,
+                          weights: Sequence[jnp.ndarray],
+                          biases: Sequence[jnp.ndarray],
+                          *, rows: int = 16, res_scale: float = 0.2,
+                          slope: float = 0.2):
+    """int8-MXU fused dense block (dynamic quantization); same contract
+    as :func:`fused_dense_block_cf`."""
+    batch, cin, h, w = x.shape
+    n_convs = len(weights)
+    growth = weights[0].shape[-1]
+    filters = weights[-1].shape[-1]
+    assert h % rows == 0 and rows >= 5, (h, rows)
+    n_bands = h // rows
+    halo = n_convs
+    n_in_blocks = -(-(rows + 2 * halo) // rows)
+
+    pad_bottom = (n_bands + n_in_blocks - 1) * rows - h - halo
+    x_flat = jnp.pad(x, ((0, 0), (0, 0), (halo, pad_bottom), (0, 0))) \
+        .reshape(batch, cin, -1)
+
+    # per-output-channel symmetric weight quantization in the packed
+    # (3F, 3C) layout; scale rows match acc's dx-packed row layout
+    wqs, sws = [], []
+    for wk in weights:
+        wp = pack_weights_v6(wk).astype(jnp.float32)     # (3F, 3C)
+        s = jnp.maximum(jnp.max(jnp.abs(wp), axis=1), 1e-12) / 127.0
+        wqs.append(jnp.clip(jnp.round(wp / s[:, None]), -127, 127)
+                   .astype(jnp.int8))
+        sws.append(s.reshape(1, -1))
+    b2 = [bk.reshape(1, -1).astype(jnp.float32) for bk in biases]
+
+    kern = functools.partial(
+        _kernel8, rows=rows, width=w, n_convs=n_convs,
+        growth=growth, filters=filters, res_scale=res_scale, slope=slope,
+        h_img=h, n_in_blocks=n_in_blocks, cin=cin)
+
+    in_block = lambda off: pl.BlockSpec(                      # noqa: E731
+        (1, cin, rows * w), lambda b, i, o=off: (b, 0, i + o),
+        memory_space=pltpu.VMEM)
+
+    flops = 2 * batch * h * w * sum(9 * wk.shape[2] * wk.shape[3]
+                                    for wk in weights)
+    c_total = cin + (n_convs - 1) * growth
+    m_max = (rows + 2 * (halo - 1)) * w
+    res = pl.pallas_call(
+        kern,
+        grid=(batch, n_bands),
+        in_specs=[in_block(o) for o in range(n_in_blocks)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * n_convs),
+        out_specs=pl.BlockSpec((1, filters, rows * w),
+                               lambda b, i: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, filters, h * w), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c_total, n_in_blocks * rows * w), x.dtype),
+            pltpu.VMEM((3 * c_total, m_max), jnp.int8),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=x.size * 4, transcendentals=0),
+    )(*([x_flat] * n_in_blocks), *wqs, *sws, *b2)
+    return res.reshape(batch, filters, h, w)
+
+
 @functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope"))
 def fused_dense_block_cf2(x: jnp.ndarray,
                           weights: Sequence[jnp.ndarray],

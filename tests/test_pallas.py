@@ -524,3 +524,30 @@ def test_fused_dense_block_cf6_matches_lax(shape, rows):
     out = jnp.transpose(ycf, (0, 2, 3, 1))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_fused_dense_block_cf8_int8_accuracy():
+    """Kernel v8 (int8 MXU, dynamic quantization): per-block error vs the
+    fp32 kernel must stay in the ~1% relative class (per-channel weight
+    scales + per-band activation scales)."""
+    from super_resolution_tpu.ops.pallas.dense_block_cf import (
+        fused_dense_block_cf5,
+        fused_dense_block_cf8,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 16, 32, 16).astype(np.float32))
+    ws, bs = [], []
+    cin = 16
+    for k in range(5):
+        cout = 16 if k == 4 else 8
+        ws.append(jnp.asarray(
+            rng.randn(3, 3, cin, cout).astype(np.float32) * 0.05))
+        bs.append(jnp.asarray(rng.randn(cout).astype(np.float32) * 0.05))
+        if k < 4:
+            cin += 8
+    with pltpu.force_tpu_interpret_mode():
+        ref = fused_dense_block_cf5(x, ws, bs, rows=8)
+        got = fused_dense_block_cf8(x, ws, bs, rows=8)
+    rel = float(jnp.abs(got - ref).max()) / float(jnp.abs(ref).max())
+    assert rel < 0.02, rel

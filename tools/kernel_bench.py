@@ -51,6 +51,7 @@ def main():
         fused_dense_block_cf3,
         fused_dense_block_cf5,
         fused_dense_block_cf6,
+        fused_dense_block_cf8,
     )
 
     B, H = args.batch, args.hw
@@ -93,7 +94,8 @@ def main():
             continue
         fn = {"v3b": fused_dense_block_cf2, "v4": fused_dense_block_cf3,
               "v5": fused_dense_block_cf5,
-              "v6": fused_dense_block_cf6}[name]
+              "v6": fused_dense_block_cf6,
+              "v8": fused_dense_block_cf8}[name]
         for rows in (int(r) for r in args.rows.split(",")):
             if H % rows:
                 continue

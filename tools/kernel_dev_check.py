@@ -26,6 +26,7 @@ from super_resolution_tpu.ops.pallas.dense_block_cf import (  # noqa: E402
     fused_dense_block_cf3,
     fused_dense_block_cf5,
     fused_dense_block_cf6,
+    fused_dense_block_cf8,
 )
 
 
@@ -48,7 +49,8 @@ def lax_ref(x, ws, bs, slope=0.2, res=0.2):
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "v4"
     fn = {"v3b": fused_dense_block_cf2, "v4": fused_dense_block_cf3,
-          "v5": fused_dense_block_cf5, "v6": fused_dense_block_cf6}[which]
+          "v5": fused_dense_block_cf5, "v6": fused_dense_block_cf6,
+              "v8": fused_dense_block_cf8}[which]
     rng = np.random.RandomState(0)
     cases = [(1, 16, 32, 16, 8, 8), (2, 16, 24, 24, 8, 8),
              (1, 64, 64, 128, 32, 32), (1, 64, 32, 128, 32, 16),
