@@ -132,8 +132,9 @@ def _load_generator(args, cfg):
 
 def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--preset", choices=("infer_single", "pretrain_psnr",
-                                        "train_gan", "infer_tiled",
-                                        "train_gan_dp8"), default=None)
+                                        "train_gan", "train_gan_dfm",
+                                        "infer_tiled", "train_gan_dp8"),
+                   default=None)
     p.add_argument("--residual_blocks", type=int, default=None,
                    help="number of RRDB blocks (default 23)")
     p.add_argument("--channels", type=int, default=None)

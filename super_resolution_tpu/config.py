@@ -45,10 +45,18 @@ class GeneratorConfig:
     lrelu_slope: float = 0.2
     upsampler: str = "nearest_conv"   # "nearest_conv" | "pixelshuffle"
     init: str = "msra_scaled"         # "msra_scaled" (x0.1) | "torch_default"
-    # Conv implementation: "lax" (XLA TPU conv emitter — default, fastest
-    # measured; BENCHNOTES.md) | "pallas" (per-conv packed-taps kernel) |
-    # "pallas_fused" (whole-dense-block fused kernel) — both flag-gated
-    # experiments per SURVEY.md §7 stage 6; inference-only
+    # Conv implementation (BENCHNOTES.md has every measurement):
+    # "lax"            XLA's conv emitter — default, always-correct
+    # "pallas_cf"      channels-first fused dense-block kernel v5 —
+    #                  fastest measured TPU inference (2.6× lax per
+    #                  block, 40 MP/s/chip end-to-end); differentiable
+    #                  (custom Mosaic VJP), used for training when the
+    #                  LR patch width is a multiple of 128
+    # "pallas_cf_tail" pallas_cf + the single-conv kernel on the
+    #                  upsample tail (measured slower than XLA there;
+    #                  kept as an experiment)
+    # "pallas"/"pallas_fused"  earlier NHWC kernel experiments (slower
+    #                  than lax on this chip; no VJP)
     conv_impl: str = "lax"
 
     @property
@@ -193,6 +201,15 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     seed: int = 0
 
+    # Reference-faithful BatchNorm bookkeeping: the reference family's D
+    # runs in train mode during the G step too, so its running stats
+    # update on ALL FOUR forwards per iteration (hr, sr, hr, sr_detached,
+    # in that order).  Default False updates only on the D-step forwards
+    # — eval-only impact, and the two G-step D forwards stay
+    # order-independent (parallelizable).  Set True for training-parity
+    # runs against reference training curves.
+    bn_track_g_step: bool = False
+
     # TPU-native knobs (no reference equivalent; SURVEY.md §2.3).
     compute_dtype: str = "bfloat16"   # conv compute dtype; params stay fp32
     data_parallel: int = 1            # mesh size along the batch axis
@@ -214,6 +231,18 @@ def preset(name: str) -> TrainConfig:
         ),
         # 3. Full ESRGAN GAN training.
         "train_gan": TrainConfig(),
+        # 3b. GAN training with the VGG-free D-feature-matching
+        #     perceptual loss.  The ESRGAN paper's weight balance assumes
+        #     a FIXED VGG feature space; the live-D substitute is
+        #     nonstationary, and the measured recipe (BENCHNOTES.md
+        #     round-2 GAN demonstration) anchors harder and slows D:
+        #     +0.62 dB AND 2.4x edge energy over the PSNR model, where
+        #     the paper weights lose 2.1 dB.
+        "train_gan_dfm": TrainConfig(
+            loss=LossConfig(perceptual_source="d_features",
+                            lambda_percep=1.0, lambda_pixel=0.1),
+            optim_d=OptimConfig(lr=3e-5),
+        ),
         # 4. Tiled large-frame inference (2K detector images).
         "infer_tiled": TrainConfig(compute_dtype="bfloat16"),
         # 5. Multi-chip data-parallel GAN training over v5e-8.
@@ -224,5 +253,5 @@ def preset(name: str) -> TrainConfig:
     return presets[name]
 
 
-PRESETS = ("infer_single", "pretrain_psnr", "train_gan", "infer_tiled",
-           "train_gan_dp8")
+PRESETS = ("infer_single", "pretrain_psnr", "train_gan",
+           "train_gan_dfm", "infer_tiled", "train_gan_dp8")

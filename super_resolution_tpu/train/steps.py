@@ -20,8 +20,9 @@ Design notes (SURVEY.md §7 "GAN step as one jit"):
   §2.4).  RaGAN batch means and BatchNorm statistics are therefore
   automatically mesh-global.
 - D's BatchNorm running stats update once per step from the D-step
-  forwards (the reference updates them on every forward in train mode;
-  only eval behavior depends on them).
+  forwards by default (eval-only impact); ``cfg.bn_track_g_step=True``
+  chains the EMAs through all four forwards per iteration in reference
+  order (hr, sr, hr, sr̄) for training-parity runs.
 """
 
 from __future__ import annotations
@@ -148,16 +149,22 @@ def make_gan_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
         def g_loss_fn(g_params):
             sr = g.apply({"params": g_params}, lr)
             pix = l1_loss(sr, hr)
-            # D in train mode (batch stats), stats discarded here — the
-            # reference's G-step forwards also run train-mode BN.  With
-            # d_features perceptual the same forwards yield the feature
-            # maps — no extra D passes.
-            (pr, fr), _ = d.apply(d_vars, hr, train=True,
-                                  mutable=["batch_stats"],
-                                  return_features=True)
-            (pf, ff), _ = d.apply(d_vars, sr, train=True,
-                                  mutable=["batch_stats"],
-                                  return_features=True)
+            # D in train mode (batch stats).  With cfg.bn_track_g_step
+            # the running-stat EMAs chain through BOTH G-step forwards in
+            # reference order (hr then sr) and are carried into the D
+            # step below; otherwise they are discarded here (eval-only
+            # impact, forwards order-independent).  With d_features
+            # perceptual the same forwards yield the feature maps — no
+            # extra D passes.
+            (pr, fr), st_hr = d.apply(d_vars, hr, train=True,
+                                      mutable=["batch_stats"],
+                                      return_features=True)
+            d_vars2 = ({"params": state.d_params,
+                        "batch_stats": st_hr["batch_stats"]}
+                       if cfg.bn_track_g_step else d_vars)
+            (pf, ff), st_sr = d.apply(d_vars2, sr, train=True,
+                                      mutable=["batch_stats"],
+                                      return_features=True)
             g_adv_fn = (ragan_generator_loss_two_sided
                         if lcfg.ragan_g_two_sided else ragan_generator_loss)
             adv = g_adv_fn(pr, pf)
@@ -173,9 +180,9 @@ def make_gan_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
                 parts["loss_percep"] = perc
                 total = total + lcfg.lambda_percep * perc
             parts["loss_g"] = total
-            return total, (sr, parts)
+            return total, (sr, parts, st_sr["batch_stats"])
 
-        (_, (sr, g_parts)), g_grads = jax.value_and_grad(
+        (_, (sr, g_parts, g_step_stats)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.g_params)
         g_updates, g_opt = opt_g.update(g_grads, state.g_opt,
                                         state.g_params)
@@ -184,9 +191,11 @@ def make_gan_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
         # ---- discriminator update (recomputed forwards on detached sr,
         # matching the reference's D step) ----
         sr_detached = jax.lax.stop_gradient(sr)
+        d_step_stats0 = (jax.lax.stop_gradient(g_step_stats)
+                         if cfg.bn_track_g_step else state.d_stats)
 
         def d_loss_fn(d_params):
-            dv = {"params": d_params, "batch_stats": state.d_stats}
+            dv = {"params": d_params, "batch_stats": d_step_stats0}
             pr, st1 = d.apply(dv, hr, train=True, mutable=["batch_stats"])
             dv2 = {"params": d_params,
                    "batch_stats": st1["batch_stats"]}

@@ -369,3 +369,50 @@ def test_infer_fn_shape():
     out = make_infer_fn(cfg)(state.g_params,
                              jnp.zeros((2, 8, 8, 3)))
     assert out.shape == (2, 32, 32, 3)
+
+
+def test_bn_track_g_step_matches_sequential_reference_order():
+    """cfg.bn_track_g_step=True must produce final D BatchNorm running
+    stats equal to four sequential train-mode forwards in the
+    reference's order (hr, sr, hr, sr_detached) from the initial stats —
+    the reference family's per-forward EMA bookkeeping."""
+    import dataclasses
+
+    from super_resolution_tpu.data import SyntheticPatches
+    from super_resolution_tpu.data.augment import preprocess_batch
+    from super_resolution_tpu.train import init_state, make_gan_step
+    from super_resolution_tpu.train.state import build_models
+
+    base = tiny_cfg()
+    cfg = dataclasses.replace(base, bn_track_g_step=True,
+                              warmup_batches=0)
+    batch = jnp.asarray(next(iter(SyntheticPatches(cfg.data, seed=0))))
+    state0 = init_state(cfg)
+
+    state1, _ = make_gan_step(cfg)(state0, batch)
+
+    # reproduce by hand: same preprocessing RNG split as _prep, G fwd,
+    # then 4 sequential mutable D forwards
+    g, d, _ = build_models(cfg)
+    _, k_aug = jax.random.split(state0.rng)
+    pp = preprocess_batch(k_aug, batch, cfg.data)
+    sr = g.apply({"params": state0.g_params}, pp["lr"])
+    st = state0.d_stats
+    for x in (pp["hr"], sr, pp["hr"], sr):
+        _, upd = d.apply({"params": state0.d_params, "batch_stats": st},
+                         x, train=True, mutable=["batch_stats"])
+        st = upd["batch_stats"]
+    for a, b in zip(jax.tree.leaves(state1.d_stats),
+                    jax.tree.leaves(st)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+    # default mode must differ (only the two D-step forwards update)
+    state_def, _ = make_gan_step(base if base.warmup_batches == 0 else
+                                 dataclasses.replace(base,
+                                                     warmup_batches=0))(
+        init_state(cfg), batch)
+    diffs = [float(jnp.abs(a - b).max()) for a, b in
+             zip(jax.tree.leaves(state_def.d_stats),
+                 jax.tree.leaves(state1.d_stats))]
+    assert max(diffs) > 0
