@@ -169,9 +169,11 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
     o_dx[:] = dfeat_ref[0:cin, 0:band_rows * width][None, None]
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope"))
+@functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope",
+                                             "interpret"))
 def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
-                              res_scale: float, slope: float):
+                              res_scale: float, slope: float,
+                              interpret: bool = False):
     """Backward of :func:`fused_dense_block_cf5`: returns
     ``(dx, [dW_k HWIO], [db_k])`` given the saved activations."""
     batch, cin, h, w = x.shape
@@ -244,6 +246,7 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size * 8, transcendentals=0),
+        interpret=interpret,
     )(*[s for src in srcs for s in [src] * n_in_blocks], g_flat, *wps)
 
     dxw = res[0]
@@ -305,22 +308,35 @@ def dense_block_cf_train(x, weights, biases, rows, res_scale, slope):
 
 
 def _train_fwd(x, weights, biases, rows, res_scale, slope):
-    y, acts = fused_dense_block_cf5(x, list(weights), list(biases),
-                                    rows=rows, res_scale=res_scale,
-                                    slope=slope, save_acts=True)
+    # batch-partitioned save-acts forward: under a batch-sharded DP jit
+    # the kernel runs per shard (ops/pallas/partitioned.py)
+    from super_resolution_tpu.ops.pallas.partitioned import (
+        partitioned_dense_block_fwd,
+    )
+
+    res = partitioned_dense_block_fwd(len(weights), rows, res_scale,
+                                      slope)(x, *weights, *biases)
+    y, acts = res[0], res[1:]
     return y, (x, tuple(weights), tuple(acts))
 
 
 def _train_bwd(rows, res_scale, slope, residuals, g):
+    # batch-partitioned Mosaic backward: dx per shard, dW/db psum'd over
+    # the mesh axis inside the partition — the DP gradient all-reduce
+    from super_resolution_tpu.ops.pallas.partitioned import (
+        partitioned_dense_block_bwd,
+    )
+
     x, weights, acts = residuals
-    dx, dws, dbs = fused_dense_block_cf5_bwd(
-        x, list(acts), list(weights), g,
-        rows=_bwd_rows(x.shape[2], x.shape[3], rows),
-        res_scale=res_scale, slope=slope)
+    n = len(weights)
+    res = partitioned_dense_block_bwd(
+        n, _bwd_rows(x.shape[2], x.shape[3], rows), res_scale, slope)(
+        x, *acts, g, *weights)
+    dx, dws, dbs = res[0], res[1:1 + n], res[1 + n:]
     # cotangent dtypes must match the primal inputs (weights may be bf16)
     dws = [d.astype(w.dtype) for d, w in zip(dws, weights)]
     dbs = [db.astype(jnp.float32) for db in dbs]
-    return dx, list(dws), dbs
+    return dx, list(dws), list(dbs)
 
 
 dense_block_cf_train.defvjp(_train_fwd, _train_bwd)

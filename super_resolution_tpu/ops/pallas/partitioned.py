@@ -5,23 +5,29 @@ batch-sharded jit the partitioner's default is to all-gather the
 operands and run the kernel replicated — silently destroying
 data-parallel scaling.  Round 1 therefore forced ``conv_impl='lax'``
 under DP.  This module closes that gap with
-``jax.experimental.custom_partitioning``: the fused block is batch-
-parallel by construction (the kernel grid's leading axis IS the batch),
-so the partition rule is trivial — shard x and the output on the batch
-dim, replicate weights/biases, and run the kernel unchanged on each
-per-device shard.  No collectives are needed in the forward.
+``jax.experimental.custom_partitioning``:
 
-Training under DP still differentiates through lax (the backward
-accumulates weight gradients across the grid, whose adjoint under
-batch sharding needs a psum — a deliberate follow-up), but batch-
-sharded *inference* (DP-of-tiles in parallel/tiling.py, batched eval)
-now runs the fast kernel per shard.
+- forward (:func:`partitioned_dense_block`, and the save-acts variant
+  :func:`partitioned_dense_block_fwd`): the fused block is batch-
+  parallel by construction (the kernel grid's leading axis IS the
+  batch), so shard x and the outputs on the batch dim, replicate
+  weights/biases, run the kernel per shard — no collectives.
+- backward (:func:`partitioned_dense_block_bwd`): dx is batch-parallel,
+  but the weight/bias gradients are *sums over the batch*, so the
+  lower_fn computes per-shard partials with the Mosaic backward kernel
+  and ``lax.psum``s them over the mesh axis — exactly the gradient
+  all-reduce XLA would insert for a lax conv under DP.  The Shardy
+  sharding rule simply omits the batch factor from the dW/db results.
+
+This makes ``conv_impl='pallas_cf'`` trainable under data parallelism
+(train/steps._training_cfg gates it on the measured aligned-width win).
 """
 
 from __future__ import annotations
 
 import functools
 
+import jax
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -80,4 +86,106 @@ def partitioned_dense_block(n_convs: int, rows: int, res_scale: float,
         partition=partition,
         infer_sharding_from_operands=infer_sharding_from_operands,
         sharding_rule=rule)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def partitioned_dense_block_fwd(n_convs: int, rows: int, res_scale: float,
+                                slope: float, interpret: bool = False):
+    """Save-acts forward (custom-VJP residual producer), batch-
+    partitioned: call as ``fn(x, *weights, *biases)`` →
+    ``(y, a1..a{n-1})``, all batch-sharded like x."""
+
+    def impl(x, *wb):
+        ws = list(wb[:n_convs])
+        bs = list(wb[n_convs:])
+        y, acts = fused_dense_block_cf5(x, ws, bs, rows=rows,
+                                        res_scale=res_scale, slope=slope,
+                                        save_acts=True,
+                                        interpret=interpret)
+        return (y, *acts)
+
+    f = custom_partitioning(impl)
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        b = _batch_axis([a.sharding for a in arg_shapes])
+        out = NamedSharding(mesh, P(b, None, None, None))
+        return (out,) * n_convs
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _batch_axis([a.sharding for a in arg_shapes])
+        xs = NamedSharding(mesh, P(b, None, None, None))
+        rep = NamedSharding(mesh, P())
+        return (mesh, impl, (xs,) * n_convs,
+                (xs,) + (rep,) * (len(arg_shapes) - 1))
+
+    operands = ["b x0 x1 x2"]
+    operands += [f"w{k}0 w{k}1 w{k}2 w{k}3" for k in range(n_convs)]
+    operands += [f"c{k}0" for k in range(n_convs)]
+    results = ["b y0 y1 y2"] + [f"b a{k}1 a{k}2 a{k}3"
+                                for k in range(n_convs - 1)]
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule=", ".join(operands) + " -> " + ", ".join(results))
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def partitioned_dense_block_bwd(n_convs: int, rows: int, res_scale: float,
+                                slope: float, interpret: bool = False):
+    """Batch-partitioned Mosaic backward: call as
+    ``fn(x, *acts, g, *weights)`` → ``(dx, dW_1..dW_n, db_1..db_n)``.
+    dx comes back batch-sharded; the weight/bias grads are psum'd over
+    the mesh axis inside the partition (replicated outputs)."""
+    from super_resolution_tpu.ops.pallas.dense_block_cf_vjp import (
+        fused_dense_block_cf5_bwd,
+    )
+
+    n_arr = 1 + (n_convs - 1) + 1            # x, acts, g (batch-sharded)
+
+    def local(x, *rest):
+        acts = list(rest[:n_convs - 1])
+        g = rest[n_convs - 1]
+        ws = list(rest[n_convs:])
+        dx, dws, dbs = fused_dense_block_cf5_bwd(
+            x, acts, ws, g, rows=rows, res_scale=res_scale, slope=slope,
+            interpret=interpret)
+        return (dx, *dws, *dbs)
+
+    f = custom_partitioning(local)
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        b = _batch_axis([a.sharding for a in arg_shapes])
+        rep = NamedSharding(mesh, P())
+        return ((NamedSharding(mesh, P(b, None, None, None)),)
+                + (rep,) * (2 * n_convs))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _batch_axis([a.sharding for a in arg_shapes])
+        xs = NamedSharding(mesh, P(b, None, None, None))
+        rep = NamedSharding(mesh, P())
+
+        def lower(x, *rest):
+            res = local(x, *rest)
+            if b is None:
+                return res
+            dx, grads = res[0], res[1:]
+            return (dx, *(jax.lax.psum(gr, axis_name=b) for gr in grads))
+
+        return (mesh, lower,
+                (xs,) + (rep,) * (2 * n_convs),
+                (xs,) * n_arr + (rep,) * n_convs)
+
+    operands = ["b x0 x1 x2"]
+    operands += [f"b p{k}1 p{k}2 p{k}3" for k in range(n_convs - 1)]
+    operands += ["b g0 g1 g2"]
+    operands += [f"w{k}0 w{k}1 w{k}2 w{k}3" for k in range(n_convs)]
+    results = ["b y0 y1 y2"]
+    results += [f"v{k}0 v{k}1 v{k}2 v{k}3" for k in range(n_convs)]
+    results += [f"u{k}0" for k in range(n_convs)]
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule=", ".join(operands) + " -> " + ", ".join(results))
     return f

@@ -60,23 +60,22 @@ def _training_cfg(cfg: TrainConfig) -> TrainConfig:
     """Pick the conv implementation training differentiates through.
 
     ``pallas_cf`` is fully differentiable (custom Mosaic backward,
-    ops/pallas/dense_block_cf_vjp.py) and trains as-is on a single chip
-    — but only *wins* when the LR patch width is a multiple of 128
-    (measured: kernel fwd+bwd 1.42× faster at W=128, 1.3× slower at
-    W=48 where the dy-window lane offsets are unaligned; BENCHNOTES.md
-    round 2), so unaligned-width training falls back to lax.  The
-    experimental ``pallas``/``pallas_fused`` paths define no VJP and
-    fall back to lax, as does any kernel path under data parallelism —
-    training grads need a cross-shard psum the partitioned forward
-    does not provide (inference DP, by contrast, runs the kernel per
-    shard via ops/pallas/partitioned.py).  The param tree is
-    implementation-agnostic either way, so checkpoints swap freely."""
+    ops/pallas/dense_block_cf_vjp.py) and trains as-is — single chip OR
+    under data parallelism (the forward/backward are batch-partitioned
+    via custom_partitioning, with the weight-grad psum inside the
+    partition; ops/pallas/partitioned.py).  But the kernel only *wins*
+    when the LR patch width is a multiple of 128 (measured: kernel
+    fwd+bwd 1.42× faster at W=128, 1.3× slower at W=48 where the
+    dy-window lane offsets are unaligned; BENCHNOTES.md round 2), so
+    unaligned-width training falls back to lax.  The experimental
+    ``pallas``/``pallas_fused`` paths define no VJP and always fall
+    back.  The param tree is implementation-agnostic either way, so
+    checkpoints swap freely."""
     import dataclasses
 
     impl = cfg.generator.conv_impl
     lr_w = cfg.data.lr_patch_hw[1]
     if impl == "lax" or (impl in ("pallas_cf", "pallas_cf_tail")
-                         and cfg.data_parallel <= 1
                          and lr_w % 128 == 0):
         return cfg
     return dataclasses.replace(

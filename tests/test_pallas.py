@@ -442,9 +442,10 @@ def test_training_through_pallas_cf_kernel():
     assert _training_cfg(aligned).generator.conv_impl == "pallas_cf"
     # unaligned training width (tiny_cfg default): measured slower -> lax
     assert _training_cfg(cfg).generator.conv_impl == "lax"
-    # under DP grads need a psum the partitioned fwd lacks -> lax
+    # DP at aligned width: the partitioned bwd psums weight grads ->
+    # the kernel path survives
     assert _training_cfg(dataclasses.replace(
-        aligned, data_parallel=8)).generator.conv_impl == "lax"
+        aligned, data_parallel=8)).generator.conv_impl == "pallas_cf"
 
     batch = jnp.asarray(next(iter(SyntheticPatches(cfg.data, seed=0))))
     state = init_state(cfg)
