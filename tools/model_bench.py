@@ -33,8 +33,11 @@ def main():
 
     from super_resolution_tpu.config import GeneratorConfig
     from super_resolution_tpu.models import RRDBNet
-    from super_resolution_tpu.ops.pallas import conv_cf, dense_block_cf
-    from super_resolution_tpu.ops.pallas import dense_block_cf_vjp as vjp
+    from super_resolution_tpu.ops.pallas import (
+        conv_cf,
+        dense_block_cf,
+        partitioned,
+    )
 
     params = jax.jit(RRDBNet(GeneratorConfig(),
                              dtype=jnp.bfloat16).init)(
@@ -42,7 +45,10 @@ def main():
     x = jax.random.normal(jax.random.key(1), (BATCH, TILE, TILE, 3),
                           jnp.float32)
 
-    orig_fwd = vjp.fused_dense_block_cf5
+    # the inference primal resolves the kernel through partitioned.py's
+    # module-level binding (the custom_partitioning impl closures look it
+    # up at call time), so that is the patch seam
+    orig_fwd = partitioned.fused_dense_block_cf5
     orig_conv = conv_cf.conv3x3_cf
 
     def lax_tail_conv(x, w, b, rows, act, slope):
@@ -52,9 +58,20 @@ def main():
         impl = "lax" if variant == "lax" else "pallas_cf"
         if "+" in variant:
             block, tail = variant.split("+")
-            vjp.fused_dense_block_cf5 = {
-                "v4": dense_block_cf.fused_dense_block_cf3,
-                "v5": dense_block_cf.fused_dense_block_cf5}[block]
+            def adapt(fn):
+                # cf3/cf6 lack the interpret kwarg of cf5's signature
+                def wrapped(x, ws, bs, *, rows, res_scale, slope,
+                            save_acts=False, interpret=False):
+                    assert not save_acts
+                    return fn(x, ws, bs, rows=rows, res_scale=res_scale,
+                              slope=slope)
+                return wrapped
+
+            partitioned.fused_dense_block_cf5 = {
+                "v4": adapt(dense_block_cf.fused_dense_block_cf3),
+                "v5": dense_block_cf.fused_dense_block_cf5,
+                "v6": adapt(dense_block_cf.fused_dense_block_cf6)}[block]
+            partitioned.partitioned_dense_block.cache_clear()
             conv_cf.conv3x3_cf = (orig_conv if tail == "ktail"
                                   else lax_tail_conv)
         model = RRDBNet(GeneratorConfig(conv_impl=impl),
@@ -85,7 +102,8 @@ def main():
             print(f"{variant:12s}: FAILED {type(e).__name__}: "
                   f"{str(e)[:160]}", flush=True)
         finally:
-            vjp.fused_dense_block_cf5 = orig_fwd
+            partitioned.fused_dense_block_cf5 = orig_fwd
+            partitioned.partitioned_dense_block.cache_clear()
             conv_cf.conv3x3_cf = orig_conv
 
 
