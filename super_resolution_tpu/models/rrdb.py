@@ -86,14 +86,18 @@ class Conv3x3(nn.Module):
         raise ValueError(f"unknown conv impl {self.impl!r}")
 
 
-def _pick_rows(h: int, w: int, cap: int = 4096):
+def _pick_rows(h: int, w: int, cap: int = 4096, c_total: int = 192):
     """Band height for the channels-first Pallas kernels: the largest
-    rows ∈ {32, 16, 8} dividing ``h`` with ``rows·w ≤ cap`` lanes — the
-    kernels' fp32 accumulators and VMEM scratch scale with rows·w, and
-    32·512 lanes already blows the 16 MB scoped-VMEM limit (measured:
-    20.8 MB at hr_conv on a 512² plane).  None → fall back to lax."""
+    rows ∈ {32, 16, 8} dividing ``h`` with ``rows·w`` lanes under a
+    VMEM budget — the kernels' fp32 accumulators and feature scratch
+    scale with rows·w·channels.  The 4096-lane cap is calibrated for
+    the canonical growth-32 block (c_total = 192 channels); wider
+    blocks (the eriklindernoren growth-64 variant: c_total = 320)
+    scale it down proportionally — measured: growth-64 at rows=32/W=128
+    overflows the 16 MB scoped-VMEM limit by 304 KB.  None → lax."""
+    budget = cap * 192 // max(c_total, 1)
     for r in (32, 16, 8):
-        if h % r == 0 and r * w <= cap:
+        if h % r == 0 and r * w <= budget:
             return r
     return None
 
@@ -152,7 +156,8 @@ class DenseBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        rows_cf = _pick_rows(x.shape[2], x.shape[3]) \
+        c_total = x.shape[1] + (cfg.n_dense_convs - 1) * cfg.growth
+        rows_cf = _pick_rows(x.shape[2], x.shape[3], c_total=c_total) \
             if cfg.conv_impl in ("pallas_cf", "pallas_cf_tail") else None
         if rows_cf is not None:
             # channels-first fused kernel, v5 (dy-in-K/dx-in-M) with a
