@@ -16,14 +16,17 @@ reads the concat of the input and all previous outputs; convs 1–4 emit
 channels with no activation; the block output is ``x + res_scale * conv5``
 and each RRDB wraps 3 dense blocks with the same outer residual scaling.
 
-TPU notes: NHWC layout feeds XLA's TPU convolution emitter directly;
-``dtype`` selects the conv compute dtype (bf16 on the MXU) while params
-stay fp32; concats are channel-last so XLA fuses the LeakyReLUs and
-residual adds into the conv epilogues.  ``cfg.conv_impl`` switches the
-conv implementation: the Pallas per-conv packed-taps kernel ("pallas")
-or the fused dense-block kernel ("pallas_fused") — both flag-gated
-experiments with identical param trees (BENCHNOTES.md has the verdict:
-XLA's emitter currently wins, so "lax" is the default).
+TPU notes: ``dtype`` selects the conv compute dtype (bf16 on the MXU)
+while params stay fp32.  ``cfg.conv_impl`` switches the conv
+implementation (identical param trees throughout; BENCHNOTES.md has
+every measurement): "lax" is XLA's conv emitter (NHWC, always-correct
+default); "pallas_cf" routes the 69 dense blocks through the
+channels-first fused Mosaic kernel v5 (ops/pallas/dense_block_cf.py) —
+2.6× faster per block, ~2.5× end-to-end, with the whole trunk in NCHW
+(two transposes total, hoisted out of the block loop), a custom Mosaic
+VJP for aligned-width training, and SPMD batch partitioning for DP.
+The stem/tail convs stay on lax (measured faster there);
+"pallas"/"pallas_fused"/"pallas_cf_tail" are retained experiments.
 """
 
 from __future__ import annotations
