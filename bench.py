@@ -45,8 +45,9 @@ def main() -> int:
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
 
-    # the channels-first fused Pallas dense-block kernel beats XLA's conv
-    # emitter by ~1.24x end-to-end on this chip (BENCHNOTES.md kernel v3b);
+    # the channels-first fused Pallas dense-block kernel (v5: dy-in-K /
+    # dx-in-M) beats XLA's conv emitter ~2.5x end-to-end on this chip
+    # (BENCHNOTES.md round 2: 40.2 vs 16.2 MP/s);
     # fall back to the lax path if the kernel cannot compile here
     cfg = GeneratorConfig(conv_impl="pallas_cf")
     model = RRDBNet(cfg, dtype=jnp.bfloat16)
