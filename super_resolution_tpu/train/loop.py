@@ -63,10 +63,18 @@ def _save_sample_grid(cfg: TrainConfig, infer_fn, state: GANTrainState,
     sr = infer_fn(state.g_params, batch["lr"])
     sr_u8 = np.asarray(jax.device_get(to_uint8_image(sr, cfg.data)))
     hr_u8 = np.asarray(jax.device_get(hr_uint8))
-    h = hr_u8.shape[1]
-    lr01 = (hr_u8.astype(np.float32) / 255.0)
-    bic = bicubic_resize(bicubic_resize(jnp.asarray(lr01), h // cfg.data.scale,
-                                        h // cfg.data.scale), h, h)
+    h, w = hr_u8.shape[1:3]
+    if isinstance(head, dict):
+        # paired mode: the baseline row upsamples the REAL paired LR the
+        # model saw — synthesizing it from HR would show a bicubic chain
+        # the training inputs never contained
+        lr01 = jnp.asarray(head["lr"].astype(np.float32) / 255.0)
+        bic = bicubic_resize(lr01, h, w)
+    else:
+        lr01 = jnp.asarray(hr_u8.astype(np.float32) / 255.0)
+        bic = bicubic_resize(
+            bicubic_resize(lr01, h // cfg.data.scale, w // cfg.data.scale),
+            h, w)
     bic_u8 = np.asarray(jnp.clip(jnp.round(bic * 255), 0, 255)
                         ).astype(np.uint8)
     rows = [np.concatenate(list(imgs), axis=1)
