@@ -392,21 +392,44 @@ def main(argv=None):
         return 0
 
     if args.cmd == "interp":
+        import jax
+
         from super_resolution_tpu.checkpoint import net_interp
 
         from super_resolution_tpu.import_torch import (
             export_generator,
             import_generator,
+            infer_generator_cfg_from_params,
             load_pth,
             save_pth,
         )
 
-        va, ca = import_generator(load_pth(args.psnr_ckpt))
-        vb, cb = import_generator(load_pth(args.gan_ckpt))
-        if ca != cb:
+        def load_any(path):
+            """Params + structural cfg from a torch .pth or an orbax dir
+            (the module-docstring contract: both formats accepted
+            everywhere a checkpoint is read)."""
+            if os.path.isfile(path):
+                v, c = import_generator(load_pth(path))
+                return v["params"], c
+            if os.path.isdir(path):
+                from super_resolution_tpu.checkpoint import (
+                    restore_generator_params,
+                )
+
+                p, step = restore_generator_params(path)
+                p = jax.device_get(p)
+                print(f"[cli] restored orbax checkpoint at step {step}")
+                return p, infer_generator_cfg_from_params(p)
+            raise SystemExit(f"interp: checkpoint not found: {path!r}")
+
+        pa, ca = load_any(args.psnr_ckpt)
+        pb, cb = load_any(args.gan_ckpt)
+        structural = ("channels", "filters", "growth", "n_blocks",
+                      "upsampler")
+        if any(getattr(ca, f) != getattr(cb, f) for f in structural):
             raise SystemExit("interp: checkpoint architectures differ "
                              f"({ca} vs {cb})")
-        blended = net_interp(va["params"], vb["params"], args.alpha)
+        blended = net_interp(pa, pb, args.alpha)
         save_pth(export_generator(blended, ca), args.out)
         print(f"[cli] wrote interpolated .pth (alpha={args.alpha}) "
               f"to {args.out}")

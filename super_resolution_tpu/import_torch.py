@@ -199,6 +199,28 @@ def import_generator(
     return {"params": params}, inferred
 
 
+def infer_generator_cfg_from_params(params: dict) -> GeneratorConfig:
+    """Infer the generator architecture from a *flax* param tree.
+
+    Orbax checkpoints store only the parameter pytree, not a
+    GeneratorConfig — this recovers the structural fields (n_blocks,
+    filters, growth, channels, upsampler) the exporters and
+    compatibility checks need, the flax-side mirror of
+    :func:`import_generator`'s shape inference.  Non-structural fields
+    (lrelu_slope, init) keep their defaults — they are not recoverable
+    from shapes."""
+    first = np.asarray(params["conv_first"]["kernel"])   # HWIO
+    filters, channels = first.shape[3], first.shape[2]
+    n_blocks = sum(1 for k in params if str(k).startswith("block"))
+    growth = np.asarray(
+        params["block0"]["dense1"]["conv1"]["kernel"]).shape[3]
+    up_out = np.asarray(params["upconv1"]["kernel"]).shape[3]
+    upsampler = "pixelshuffle" if up_out == 4 * filters else "nearest_conv"
+    return GeneratorConfig(channels=channels, filters=filters,
+                           growth=growth, n_blocks=n_blocks,
+                           upsampler=upsampler)
+
+
 def export_generator(params: dict, cfg: GeneratorConfig,
                      style: str = "basicsr") -> Dict[str, np.ndarray]:
     """Inverse of :func:`import_generator`: flax params → torch state dict
