@@ -7,9 +7,11 @@ prefetch, per-host sharding (``ShardByJaxProcess``) and checkpointable
 iterators — the same ``__iter__``/``state_dict``/``load_state_dict``
 surface, so ``train()`` accepts either interchangeably.
 
-Uses ``grain.MapDataset``: source = image paths, per-record seeded random
-crop (grain supplies the per-record RNG), infinite repeat + shuffle,
-batching; iterator state round-trips through grain's native
+Uses ``grain.MapDataset``: source = image paths (or (HR, LR) path pairs
+when ``cfg.lr_dir`` is set — SURVEY.md §2.1 paired mode, same dict-batch
+contract as the threaded loader), per-record seeded random crop (grain
+supplies the per-record RNG), infinite repeat + shuffle, batching;
+iterator state round-trips through grain's native
 ``get_state``/``set_state``.
 """
 
@@ -20,26 +22,45 @@ from typing import Optional, Sequence
 import numpy as np
 
 from super_resolution_tpu.config import DataConfig
-from super_resolution_tpu.data.pipeline import _decode_crop, list_images
+from super_resolution_tpu.data.pipeline import (
+    _decode_crop,
+    _decode_crop_pair,
+    list_images,
+    pair_images,
+)
 
 
 class GrainPatchLoader:
-    """grain.MapDataset-based uint8 HR patch batches (B, P, P, 3)."""
+    """grain.MapDataset-based uint8 HR patch batches (B, P, P, 3), or
+    paired ``{"hr", "lr"}`` dict batches when ``cfg.lr_dir`` is set."""
 
     def __init__(self, cfg: DataConfig, files: Optional[Sequence[str]] = None,
                  seed: int = 0):
         import grain
 
         self.cfg = cfg
-        self.files = list(files) if files is not None \
-            else list_images(cfg.dataset_dir)
+        self.paired = cfg.lr_dir is not None
+        if self.paired:
+            # files holds (hr_path, lr_path) tuples, matched by stem —
+            # identical contract to PatchLoader's paired mode
+            self.files = list(files) if files is not None \
+                else pair_images(cfg.dataset_dir, cfg.lr_dir)
+        else:
+            self.files = list(files) if files is not None \
+                else list_images(cfg.dataset_dir)
         self.seed = seed
 
         patch = cfg.patch_hw
+        scale = cfg.scale
+        paired = self.paired
 
         def decode(path_and_seed):
             path, record_seed = path_and_seed
             rng = np.random.default_rng(record_seed)
+            if paired:
+                hr, lr = _decode_crop_pair(path[0], path[1], patch, scale,
+                                           rng)
+                return {"hr": hr, "lr": lr}
             return _decode_crop(path, patch, rng)
 
         ds = (grain.MapDataset.source(list(self.files))
@@ -66,7 +87,11 @@ class GrainPatchLoader:
     def __iter__(self):
         it = self._ensure_iter()
         while True:
-            yield np.asarray(next(it))
+            batch = next(it)
+            if isinstance(batch, dict):
+                yield {k: np.asarray(v) for k, v in batch.items()}
+            else:
+                yield np.asarray(batch)
 
     # -- resume support: grain's native iterator state
     def state_dict(self) -> dict:
