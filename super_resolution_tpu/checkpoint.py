@@ -77,17 +77,34 @@ def restore_checkpoint(
 
 
 def restore_generator_params(ckpt_dir: str,
-                             step: Optional[int] = None):
+                             step: Optional[int] = None,
+                             prefer_ema: bool = True):
     """Template-free restore of just the generator params from a full
     train-state checkpoint (inference/eval path — no need to rebuild the
-    optimizer/VGG trees)."""
+    optimizer/VGG trees).
+
+    ``prefer_ema`` returns the EMA tree when the checkpoint carries one —
+    the same preference :func:`~super_resolution_tpu.import_torch.load_pth`
+    applies to BasicSR ``params_ema`` release files; pass False for the
+    raw training params."""
+    g_params, g_ema, step = restore_generator_trees(ckpt_dir, step)
+    if prefer_ema and g_ema is not None:
+        return g_ema, step
+    return g_params, step
+
+
+def restore_generator_trees(ckpt_dir: str, step: Optional[int] = None):
+    """Template-free ``(g_params, g_ema_or_None, step)`` from a full
+    train-state checkpoint — the export path needs both trees to emit
+    the family's ``{params, params_ema}`` release shape."""
     with _manager(ckpt_dir) as mgr:
         step = mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
         raw = mgr.restore(
             step, args=ocp.args.Composite(state=ocp.args.StandardRestore()))
-    return raw["state"]["g_params"], step
+    st = raw["state"]
+    return st["g_params"], st.get("g_ema"), step
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:

@@ -9,6 +9,8 @@ surface (BASELINE.json north star; SURVEY.md §1 L8 flag set) and adds
         --checkpoint gen.pth --out sr.png
     python -m super_resolution_tpu.cli interp  --psnr_ckpt a.pth \
         --gan_ckpt b.pth --alpha 0.8 --out blended.npz
+    python -m super_resolution_tpu.cli export  --checkpoint ck_dir \
+        --out release.pth   # {params, params_ema} BasicSR shape
 
 Checkpoints: both orbax directories (this framework's native format) and
 torch ``.pth`` files (the reference's format, via import_torch) are
@@ -271,6 +273,20 @@ def main(argv=None):
     sv.add_argument("--max_frames", type=int, default=None,
                     help="exit after N frames (default: run forever)")
 
+    # ---- export ----
+    x = sub.add_parser("export",
+                       help="orbax train checkpoint → release-shaped "
+                            "torch .pth ({params, params_ema} per the "
+                            "BasicSR family convention)")
+    _add_common(x)
+    x.add_argument("--checkpoint", required=True,
+                   help="orbax checkpoint dir (a torch .pth passes "
+                        "through re-wrapped)")
+    x.add_argument("--out", required=True)
+    x.add_argument("--style", default="basicsr",
+                   choices=("basicsr", "xinntao_old", "erik"),
+                   help="torch naming family to emit")
+
     # ---- interp ----
     i = sub.add_parser("interp", help="network interpolation (ESRGAN §3.4)")
     _add_common(i)
@@ -389,6 +405,37 @@ def main(argv=None):
                         scale=cfg.generator.scale, poll_s=args.poll,
                         once=args.once, max_frames=args.max_frames)
         print(f"[serve] processed {n} frames")
+        return 0
+
+    if args.cmd == "export":
+        import jax
+
+        from super_resolution_tpu.import_torch import (
+            export_generator_release,
+            import_generator,
+            infer_generator_cfg_from_params,
+            load_pth,
+            save_pth,
+        )
+
+        if os.path.isfile(args.checkpoint):    # .pth → re-wrap
+            v, gcfg = import_generator(load_pth(args.checkpoint))
+            g_params, g_ema = v["params"], None
+        else:
+            from super_resolution_tpu.checkpoint import (
+                restore_generator_trees,
+            )
+
+            g_params, g_ema, step = restore_generator_trees(
+                args.checkpoint)
+            g_params = jax.device_get(g_params)
+            g_ema = None if g_ema is None else jax.device_get(g_ema)
+            gcfg = infer_generator_cfg_from_params(g_params)
+            print(f"[cli] exporting step-{step} checkpoint"
+                  + (" (with params_ema)" if g_ema is not None else ""))
+        save_pth(export_generator_release(g_params, gcfg, g_ema,
+                                          style=args.style), args.out)
+        print(f"[cli] wrote {args.out}")
         return 0
 
     if args.cmd == "interp":

@@ -210,6 +210,16 @@ class TrainConfig:
     # runs against reference training curves.
     bn_track_g_step: bool = False
 
+    # Generator EMA (the BasicSR family release convention the importer
+    # already honors on the read side — import_torch.load_pth prefers
+    # 'params_ema'): an exponential moving average of G's params is
+    # maintained in the train state and preferred for eval/sample grids
+    # and .pth export.  0.0 disables (no EMA tree in the state).
+    ema_decay: float = 0.999
+    # Use the EMA weights for in-loop eval + sample grids (the family's
+    # release/eval convention); raw params remain what trains.
+    eval_use_ema: bool = True
+
     # TPU-native knobs (no reference equivalent; SURVEY.md §2.3).
     compute_dtype: str = "bfloat16"   # conv compute dtype; params stay fp32
     data_parallel: int = 1            # mesh size along the batch axis

@@ -238,11 +238,30 @@ def export_generator(params: dict, cfg: GeneratorConfig,
     return sd
 
 
-def save_pth(state_dict: Dict[str, np.ndarray], path: str) -> None:
+def export_generator_release(params: dict, cfg: GeneratorConfig,
+                             params_ema: dict | None = None,
+                             style: str = "basicsr") -> Dict:
+    """Release-shaped state dict following the BasicSR family convention
+    the importer honors on the read side (:func:`load_pth` prefers
+    ``params_ema``): ``{"params": …, "params_ema": …}`` when an EMA tree
+    exists, else the flat state dict."""
+    sd = export_generator(params, cfg, style=style)
+    if params_ema is None:
+        return sd
+    return {"params": sd,
+            "params_ema": export_generator(params_ema, cfg, style=style)}
+
+
+def save_pth(state_dict: Dict, path: str) -> None:
+    """torch.save a (possibly wrapper-nested) name→ndarray state dict."""
     import torch
 
-    torch.save({k: torch.from_numpy(np.asarray(v).copy())
-                for k, v in state_dict.items()}, path)
+    def conv(v):
+        if isinstance(v, dict):
+            return {k: conv(x) for k, x in v.items()}
+        return torch.from_numpy(np.asarray(v).copy())
+
+    torch.save({k: conv(v) for k, v in state_dict.items()}, path)
 
 
 # --------------------------------------------------------------------------

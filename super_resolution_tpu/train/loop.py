@@ -37,7 +37,11 @@ from super_resolution_tpu.parallel.dp import (
     shard_batch_iter,
     shard_state,
 )
-from super_resolution_tpu.train.state import GANTrainState, init_state
+from super_resolution_tpu.train.state import (
+    GANTrainState,
+    eval_params,
+    init_state,
+)
 from super_resolution_tpu.train.steps import (
     make_gan_step,
     make_infer_fn,
@@ -60,7 +64,7 @@ def _save_sample_grid(cfg: TrainConfig, infer_fn, state: GANTrainState,
     hr_uint8 = head["hr"] if isinstance(head, dict) else head
     batch = preprocess_batch(jax.random.key(0), head, cfg.data,
                              augment=False)
-    sr = infer_fn(state.g_params, batch["lr"])
+    sr = infer_fn(eval_params(cfg, state), batch["lr"])
     sr_u8 = np.asarray(jax.device_get(to_uint8_image(sr, cfg.data)))
     hr_u8 = np.asarray(jax.device_get(hr_uint8))
     h, w = hr_u8.shape[1:3]
@@ -141,8 +145,15 @@ def train(cfg: TrainConfig,
 
             g_params, at = restore_generator_params(init_g_from)
             print(f"[train] warm-starting G from step-{at} checkpoint")
-        state = state.replace(g_params=jax.tree.map(
-            lambda t, s: jnp.asarray(s, t.dtype), state.g_params, g_params))
+        warm = jax.tree.map(lambda t, s: jnp.asarray(s, t.dtype),
+                            state.g_params, g_params)
+        # seed the EMA from the warm-start weights too — starting it from
+        # the fresh random init would make eval trail the PSNR model for
+        # ~1/(1-decay) steps
+        state = state.replace(
+            g_params=warm,
+            g_ema=None if state.g_ema is None
+            else jax.tree.map(jnp.array, warm))
     if resume:
         try:
             state, data_state, start_step = restore_checkpoint(
@@ -222,7 +233,8 @@ def train(cfg: TrainConfig,
             )
 
             tile = max(cfg.data.lr_patch, 48)
-            ev = evaluate_directory(cfg, jax.device_get(state.g_params),
+            ev = evaluate_directory(cfg,
+                                    jax.device_get(eval_params(cfg, state)),
                                     eval_dir, tile=tile,
                                     halo=min(8, tile // 4), max_images=8,
                                     infer_fn=infer_fn)

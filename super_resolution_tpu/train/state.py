@@ -46,6 +46,28 @@ class GANTrainState:
     d_stats: Any                      # BatchNorm running stats
     d_opt: Any
     vgg_params: Any                   # frozen; None when perceptual off
+    # EMA of g_params (BasicSR 'params_ema' convention, decay
+    # cfg.ema_decay, updated after every G step); None when disabled.
+    g_ema: Any = None
+
+
+def ema_update(cfg: TrainConfig, g_ema, g_params):
+    """One EMA step: e ← d·e + (1−d)·p, leaf-wise.  Identity when the
+    EMA tree is absent (cfg.ema_decay == 0)."""
+    if g_ema is None:
+        return None
+    d = cfg.ema_decay
+    return jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                        g_ema, g_params)
+
+
+def eval_params(cfg: TrainConfig, state: "GANTrainState"):
+    """The params eval/sampling should use: the EMA tree when maintained
+    and cfg.eval_use_ema (the family's release convention), else the raw
+    training params."""
+    if cfg.eval_use_ema and state.g_ema is not None:
+        return state.g_ema
+    return state.g_params
 
 
 def build_models(cfg: TrainConfig):
@@ -109,6 +131,8 @@ def init_state(cfg: TrainConfig, key: Optional[jax.Array] = None,
         d_stats=d_vars.get("batch_stats", {}),
         d_opt=make_optimizer(cfg.optim_d).init(d_vars["params"]),
         vgg_params=vgg_params,
+        g_ema=(jax.tree.map(jnp.array, g_vars["params"])
+               if cfg.ema_decay > 0 else None),
     )
 
 

@@ -48,6 +48,7 @@ from super_resolution_tpu.losses import (
 from super_resolution_tpu.train.state import (
     GANTrainState,
     build_models,
+    ema_update,
     make_optimizer,
 )
 
@@ -121,7 +122,9 @@ def make_pretrain_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
         metrics = {"loss_pixel": pix, "psnr": _psnr01(cfg, sr, hr),
                    "grad_norm_g": optax.global_norm(grads)}
         return state.replace(step=state.step + 1, rng=rng,
-                             g_params=g_params, g_opt=g_opt), metrics
+                             g_params=g_params, g_opt=g_opt,
+                             g_ema=ema_update(cfg, state.g_ema, g_params),
+                             ), metrics
 
     if jit:
         step = jax.jit(step, donate_argnums=(0,) if cfg.donate_buffers
@@ -219,6 +222,7 @@ def make_gan_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
         new_state = state.replace(
             step=state.step + 1, rng=rng,
             g_params=g_params, g_opt=g_opt,
+            g_ema=ema_update(cfg, state.g_ema, g_params),
             d_params=d_params, d_stats=d_stats, d_opt=d_opt)
         return new_state, metrics
 

@@ -143,6 +143,35 @@ def test_interp_cli_rejects_mismatched_arch(tmp_path, small_pth):
               *SMALL_ARGS])
 
 
+def test_export_cli_release_shape(data_dir, tmp_path):
+    """cli export writes the BasicSR release shape {params, params_ema};
+    upscaling with it must use the EMA weights (importer preference)."""
+    ck = str(tmp_path / "ck")
+    main(["train", "--dataset_dir", data_dir, "--steps", "2",
+          "--batch_size", "2", "--hr_height", "32", "--warmup_batches",
+          "10", "--no_perceptual", "--checkpoint_interval", "2",
+          "--checkpoint_dir", ck, "--n_cpu", "1", *SMALL_ARGS])
+    out = str(tmp_path / "release.pth")
+    rc = main(["export", "--checkpoint", ck, "--out", out, *SMALL_ARGS])
+    assert rc == 0
+
+    sd = torch.load(out, weights_only=True)
+    assert set(sd) == {"params", "params_ema"}
+    assert "conv_first.weight" in sd["params_ema"]
+
+    from super_resolution_tpu.checkpoint import restore_generator_params
+    from super_resolution_tpu.import_torch import import_generator, load_pth
+
+    v, _ = import_generator(load_pth(out))     # prefers params_ema
+    ema, _ = restore_generator_params(ck)      # also prefers the EMA tree
+    np.testing.assert_allclose(
+        np.asarray(v["params"]["conv_first"]["kernel"]),
+        np.asarray(ema["conv_first"]["kernel"]), atol=1e-7)
+    raw, _ = restore_generator_params(ck, prefer_ema=False)
+    assert np.abs(np.asarray(ema["conv_first"]["kernel"])
+                  - np.asarray(raw["conv_first"]["kernel"])).max() > 0
+
+
 def test_export_import_roundtrip():
     """Generator exporter: flax → BasicSR .pth naming → importer → same
     tree (framework ↔ reference checkpoint interchange)."""
