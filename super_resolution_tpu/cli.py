@@ -132,6 +132,21 @@ def _load_generator(args, cfg):
         "an orbax checkpoint directory)")
 
 
+def _inference_mesh(cfg, g_params):
+    """(mesh, params) for DP-of-tiles inference (SURVEY.md §2.3): build
+    the 1-D mesh and replicate the generator params over it, per the
+    tiled_upscale contract (params passed as jit args must be replicated
+    when tiles are mesh-sharded).  (None, params) when single-device."""
+    if cfg.data_parallel <= 1:
+        return None, g_params
+    import jax
+
+    from super_resolution_tpu.parallel import make_mesh, replicated
+
+    mesh = make_mesh(cfg.data_parallel)
+    return mesh, jax.device_put(g_params, replicated(mesh))
+
+
 def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--preset", choices=("infer_single", "pretrain_psnr",
                                         "train_gan", "train_gan_dfm",
@@ -158,6 +173,10 @@ def _add_common(p: argparse.ArgumentParser):
                         "LR patch width is a multiple of 128 (measured "
                         "win), else lax")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--data_parallel", type=int, default=None,
+                   help="mesh size: shard the batch axis (train) or the "
+                        "tile batch (eval/upscale/serve DP-of-tiles) "
+                        "over this many devices")
     p.add_argument("--vgg_weights", default=None,
                    help="npz from tools/convert_vgg.py")
     p.add_argument("--lenient_import", action="store_true",
@@ -210,7 +229,6 @@ def main(argv=None):
                    help="warm-start G from a PSNR checkpoint (.pth or "
                         "orbax dir) into a fresh GAN state — the ESRGAN "
                         "pretrain->GAN recipe")
-    t.add_argument("--data_parallel", type=int, default=None)
     t.add_argument("--eval_dir", default=None,
                    help="validation dir for periodic in-loop eval")
     t.add_argument("--eval_interval", type=int, default=None)
@@ -320,12 +338,13 @@ def main(argv=None):
         from super_resolution_tpu.train.evaluate import evaluate_directory
 
         g_params, cfg = _load_generator(args, cfg)
+        mesh, g_params = _inference_mesh(cfg, g_params)
         out = evaluate_directory(cfg, g_params, args.dataset_dir,
                                  tile=args.tile, halo=args.halo,
                                  tile_batch=args.tile_batch,
                                  max_images=args.max_images,
                                  use_self_ensemble=args.self_ensemble,
-                                 lr_dir=args.lr_dir)
+                                 lr_dir=args.lr_dir, mesh=mesh)
         if args.json:
             print(json.dumps(out))
         else:
@@ -347,6 +366,7 @@ def main(argv=None):
         from super_resolution_tpu.train.steps import make_infer_fn
 
         g_params, cfg = _load_generator(args, cfg)
+        mesh, g_params = _inference_mesh(cfg, g_params)
         infer = make_infer_fn(cfg)
         mean, std = cfg.data.normalize_mean, cfg.data.normalize_std
 
@@ -358,7 +378,7 @@ def main(argv=None):
             up = lambda img: tiled_upscale(
                 lambda x: infer(g_params, x), img,
                 scale=cfg.generator.scale, tile=args.tile,
-                halo=args.halo, tile_batch=args.tile_batch)
+                halo=args.halo, tile_batch=args.tile_batch, mesh=mesh)
             if args.self_ensemble:
                 from super_resolution_tpu.ops import self_ensemble
 
@@ -389,6 +409,7 @@ def main(argv=None):
         from super_resolution_tpu.train.steps import make_infer_fn
 
         g_params, cfg = _load_generator(args, cfg)
+        mesh, g_params = _inference_mesh(cfg, g_params)
         infer = make_infer_fn(cfg)
         mean, std = cfg.data.normalize_mean, cfg.data.normalize_std
 
@@ -398,7 +419,7 @@ def main(argv=None):
             srn = tiled_upscale(lambda x: infer(g_params, x), lrn,
                                 scale=cfg.generator.scale, tile=args.tile,
                                 halo=args.halo,
-                                tile_batch=args.tile_batch)
+                                tile_batch=args.tile_batch, mesh=mesh)
             return np.asarray(to_uint8_image(srn, cfg.data))
 
         n = serve_watch(upscale_u8, args.watch, args.out,
