@@ -118,9 +118,8 @@ def test_fused_dense_block_channels_first_matches_lax(shape, rows):
     """Kernel v3 (channels-first, packed-M, 3D contraction) —
     interpret-mode exact; compile-blocked on this Mosaic toolchain
     (the shipping variant is v3b below)."""
-    from super_resolution_tpu.ops.pallas.dense_block_cf import (
-        fused_dense_block_cf,
-    )
+    from super_resolution_tpu.ops.pallas.experiments_dense_block \
+        import fused_dense_block_cf
 
     nf, gc = shape[-1], 16
     ws, bs = [], []
@@ -151,9 +150,8 @@ def test_fused_dense_block_cf2_matches_lax(shape, rows):
     """Kernel v3b (2D-flattened channels-first) — the variant that BEATS
     XLA on-chip (BENCHNOTES.md: 1.35 vs 1.72 ms/block, 1.24x end-to-end
     model speedup)."""
-    from super_resolution_tpu.ops.pallas.dense_block_cf import (
-        fused_dense_block_cf2,
-    )
+    from super_resolution_tpu.ops.pallas.experiments_dense_block \
+        import fused_dense_block_cf2
 
     nf, gc = shape[-1], 16
     ws, bs = [], []
@@ -183,9 +181,8 @@ def test_fused_dense_block_cf2_matches_lax(shape, rows):
 def test_fused_dense_block_cf3_matches_lax(shape, rows):
     """Kernel v4 (packed-K): one full-K matmul per conv instead of
     per-slab K=32 contractions."""
-    from super_resolution_tpu.ops.pallas.dense_block_cf import (
-        fused_dense_block_cf3,
-    )
+    from super_resolution_tpu.ops.pallas.experiments_dense_block \
+        import fused_dense_block_cf3
 
     nf, gc = shape[-1], 16
     ws, bs = [], []
@@ -503,9 +500,8 @@ def test_fused_dense_block_cf6_matches_lax(shape, rows):
     """Kernel v6 (dy-extended operand: one K=3C matmul per conv) —
     measured ≈ v5 within noise on-chip (BENCHNOTES.md); kept as a
     documented experiment."""
-    from super_resolution_tpu.ops.pallas.dense_block_cf import (
-        fused_dense_block_cf6,
-    )
+    from super_resolution_tpu.ops.pallas.experiments_dense_block \
+        import fused_dense_block_cf6
 
     nf, gc = shape[-1], 16
     ws, bs = [], []
@@ -533,8 +529,9 @@ def test_fused_dense_block_cf8_int8_accuracy():
     scales + per-band activation scales)."""
     from super_resolution_tpu.ops.pallas.dense_block_cf import (
         fused_dense_block_cf5,
-        fused_dense_block_cf8,
     )
+    from super_resolution_tpu.ops.pallas.experiments_dense_block \
+        import fused_dense_block_cf8
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(1, 16, 32, 16).astype(np.float32))

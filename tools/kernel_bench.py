@@ -47,9 +47,11 @@ def main():
     args = ap.parse_args()
 
     from super_resolution_tpu.ops.pallas.dense_block_cf import (
+        fused_dense_block_cf5,
+    )
+    from super_resolution_tpu.ops.pallas.experiments_dense_block import (
         fused_dense_block_cf2,
         fused_dense_block_cf3,
-        fused_dense_block_cf5,
         fused_dense_block_cf6,
         fused_dense_block_cf8,
     )

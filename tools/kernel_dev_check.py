@@ -22,9 +22,11 @@ import jax.numpy as jnp                                       # noqa: E402
 from jax.experimental.pallas import tpu as pltpu              # noqa: E402
 
 from super_resolution_tpu.ops.pallas.dense_block_cf import (  # noqa: E402
+    fused_dense_block_cf5,
+)
+from super_resolution_tpu.ops.pallas.experiments_dense_block import (  # noqa: E402
     fused_dense_block_cf2,
     fused_dense_block_cf3,
-    fused_dense_block_cf5,
     fused_dense_block_cf6,
     fused_dense_block_cf8,
 )

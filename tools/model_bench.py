@@ -36,6 +36,7 @@ def main():
     from super_resolution_tpu.ops.pallas import (
         conv_cf,
         dense_block_cf,
+        experiments_dense_block,
         partitioned,
     )
 
@@ -68,9 +69,9 @@ def main():
                 return wrapped
 
             partitioned.fused_dense_block_cf5 = {
-                "v4": adapt(dense_block_cf.fused_dense_block_cf3),
+                "v4": adapt(experiments_dense_block.fused_dense_block_cf3),
                 "v5": dense_block_cf.fused_dense_block_cf5,
-                "v6": adapt(dense_block_cf.fused_dense_block_cf6)}[block]
+                "v6": adapt(experiments_dense_block.fused_dense_block_cf6)}[block]
             partitioned.partitioned_dense_block.cache_clear()
             conv_cf.conv3x3_cf = (orig_conv if tail == "ktail"
                                   else lax_tail_conv)
