@@ -58,6 +58,13 @@ class GeneratorConfig:
     # "pallas"/"pallas_fused"  earlier NHWC kernel experiments (slower
     #                  than lax on this chip; no VJP)
     conv_impl: str = "lax"
+    # Tail upsample implementation for the nearest_conv upsampler:
+    # nearest-×2 + 3×3 conv is algebraically four 2×2 polyphase convs on
+    # the SMALL plane (2.25× fewer MACs, no upsampled-plane input read —
+    # ops/upsample_conv.py; XLA cannot fuse across the repeat→conv
+    # boundary).  Bit-equivalent up to fp rounding (tests/test_ops.py);
+    # "naive" keeps the literal repeat→conv form for A/B.
+    tail_up: str = "polyphase"        # "polyphase" | "naive"
 
     @property
     def n_upsample(self) -> int:

@@ -89,6 +89,22 @@ class Conv3x3(nn.Module):
         raise ValueError(f"unknown conv impl {self.impl!r}")
 
 
+def _fold_factor(batch: int, w: int) -> int:
+    """Batch-to-lane fold factor: the smallest g with (g·w) % 128 == 0,
+    when it divides the batch.  At unaligned widths (the 192²-patch
+    training regime: LR W = 48 → g = 8) the trunk runs with g images
+    concatenated along the lane axis, which 128-aligns every dy-window
+    slice in the fused kernel AND its Mosaic backward — the round-2
+    relayout tax that made kernel training lose at W=48 (BENCHNOTES.md).
+    Returns 1 when already aligned or no valid fold exists."""
+    import math
+
+    if w % 128 == 0:
+        return 1
+    g = 128 // math.gcd(w, 128)
+    return g if batch % g == 0 else 1
+
+
 def _pick_rows(h: int, w: int, cap: int = 4096, c_total: int = 192):
     """Band height for the channels-first Pallas kernels: the largest
     rows ∈ {32, 16, 8} dividing ``h`` with ``rows·w`` lanes under a
@@ -97,10 +113,18 @@ def _pick_rows(h: int, w: int, cap: int = 4096, c_total: int = 192):
     the canonical growth-32 block (c_total = 192 channels); wider
     blocks (the eriklindernoren growth-64 variant: c_total = 320)
     scale it down proportionally — measured: growth-64 at rows=32/W=128
-    overflows the 16 MB scoped-VMEM limit by 304 KB.  None → lax."""
+    overflows the 16 MB scoped-VMEM limit by 304 KB.  When the band is
+    lane-tile aligned, the kernel's DMA input delivery (no
+    double-buffered grid blocks) frees ~1.5× more VMEM — the budget
+    rises to 6144 lanes (calibrated on the folded W=384 training
+    geometry, BENCHNOTES.md round 3).  None → lax."""
     budget = cap * 192 // max(c_total, 1)
+    dma_budget = (cap + 2048) * 192 // max(c_total, 1)
     for r in (32, 16, 8):
-        if h % r == 0 and r * w <= budget:
+        if h % r != 0:
+            continue
+        aligned = (r * w) % 128 == 0 and ((r + 10) * w) % 128 == 0
+        if r * w <= (dma_budget if aligned else budget):
             return r
     return None
 
@@ -139,6 +163,9 @@ class DenseBlock(nn.Module):
 
     cfg: GeneratorConfig
     dtype: Any = jnp.float32
+    # per-image width when the trunk is batch-to-lane folded (RRDBNet
+    # fold logic); None = unfolded input
+    img_w: Any = None
 
     def _declare_params(self, cin):
         """Declare the 5 conv param pairs (identical tree to the per-conv
@@ -174,7 +201,7 @@ class DenseBlock(nn.Module):
             ws, bs = self._declare_params(x.shape[1])
             return dense_block_cf_train(
                 x.astype(self.dtype), ws, bs, rows_cf,
-                cfg.res_scale, cfg.lrelu_slope)
+                cfg.res_scale, cfg.lrelu_slope, self.img_w)
         if cfg.conv_impl == "pallas_fused" and x.shape[1] % 8 == 0:
             from super_resolution_tpu.ops.pallas.dense_block import (
                 fused_dense_block,
@@ -186,6 +213,11 @@ class DenseBlock(nn.Module):
                 x.astype(self.dtype), ws, bs, rows=rows,
                 res_scale=cfg.res_scale, slope=cfg.lrelu_slope)
 
+        # the folded layout exists only for the fused-kernel path — the
+        # per-conv fallback below would convolve across fold boundaries
+        assert self.img_w is None, \
+            "folded trunk input requires the pallas_cf kernel path " \
+            "(RRDBNet folds only when _pick_rows accepts the folded plane)"
         impl = "lax" if cfg.conv_impl in ("pallas_fused", "pallas_cf",
                                           "pallas_cf_tail") \
             else cfg.conv_impl
@@ -213,12 +245,14 @@ class RRDB(nn.Module):
 
     cfg: GeneratorConfig
     dtype: Any = jnp.float32
+    img_w: Any = None
 
     @nn.compact
     def __call__(self, x):
         out = x
         for k in range(self.cfg.n_dense):
-            out = DenseBlock(self.cfg, self.dtype, name=f"dense{k + 1}")(out)
+            out = DenseBlock(self.cfg, self.dtype, self.img_w,
+                             name=f"dense{k + 1}")(out)
         return x + self.cfg.res_scale * out
 
 
@@ -265,16 +299,55 @@ class RRDBNet(nn.Module):
         if cf:
             fea = jnp.transpose(fea, (0, 3, 1, 2))
         trunk = fea
+        img_w = None
+        if cf:
+            # batch-to-lane fold at unaligned widths: g images side by
+            # side in lanes so the fused kernel (and its backward) see a
+            # 128-aligned row width; elementwise RRDB residuals are
+            # layout-agnostic, so the whole trunk runs folded and the
+            # two reshapes amortize over all n_blocks·3 dense blocks.
+            # Only fold when the folded plane passes the kernel's VMEM
+            # row check — otherwise DenseBlock's per-conv fallback would
+            # see a folded plane it cannot convolve.
+            b_, c_, h_, w_ = trunk.shape
+            g = _fold_factor(b_, w_)
+            c_total = cfg.filters + (cfg.n_dense_convs - 1) * cfg.growth
+            if g > 1 and _pick_rows(h_, g * w_, c_total=c_total) \
+                    is not None:
+                trunk = trunk.reshape(b_ // g, g, c_, h_, w_) \
+                    .transpose(0, 2, 3, 1, 4) \
+                    .reshape(b_ // g, c_, h_, g * w_)
+                img_w = w_
         for b in range(cfg.n_blocks):
-            trunk = RRDB(cfg, self.dtype, name=f"block{b}")(trunk)
+            trunk = RRDB(cfg, self.dtype, img_w, name=f"block{b}")(trunk)
+        if img_w is not None:
+            b_, c_, h_, w_ = fea.shape
+            g = trunk.shape[3] // w_
+            trunk = trunk.reshape(b_ // g, c_, h_, g, w_) \
+                .transpose(0, 3, 1, 2, 4).reshape(b_, c_, h_, w_)
         if cf:
             fea = fea + self._conv_cf(trunk, cfg.filters,
                                       name="trunk_conv", act=False)
             for u in range(cfg.n_upsample):
                 if cfg.upsampler == "nearest_conv":
-                    fea = jnp.repeat(jnp.repeat(fea, 2, axis=2), 2, axis=3)
-                    fea = self._conv_cf(fea, cfg.filters,
-                                        name=f"upconv{u + 1}", act=True)
+                    if cfg.tail_up == "polyphase":
+                        from super_resolution_tpu.ops.upsample_conv \
+                            import nearest_up_conv_nchw
+
+                        kern, bias = _ConvParams(
+                            (3, 3, fea.shape[1], cfg.filters), cfg.init,
+                            name=f"upconv{u + 1}")()
+                        fea = nearest_up_conv_nchw(
+                            fea.astype(self.dtype),
+                            kern.astype(self.dtype), bias,
+                            precision=precision_for(self.dtype))
+                        fea = nn.leaky_relu(fea, cfg.lrelu_slope)
+                    else:
+                        fea = jnp.repeat(jnp.repeat(fea, 2, axis=2), 2,
+                                         axis=3)
+                        fea = self._conv_cf(fea, cfg.filters,
+                                            name=f"upconv{u + 1}",
+                                            act=True)
                 elif cfg.upsampler == "pixelshuffle":
                     fea = self._conv_cf(fea, cfg.filters * 4,
                                         name=f"upconv{u + 1}", act=True)
@@ -299,10 +372,23 @@ class RRDBNet(nn.Module):
 
         for u in range(cfg.n_upsample):
             if cfg.upsampler == "nearest_conv":
-                fea = nearest_upsample(fea, 2)
-                fea = _conv3x3(fea, cfg.filters, name=f"upconv{u + 1}",
-                               scheme=cfg.init, dtype=self.dtype,
-                               impl=cfg.conv_impl)
+                if cfg.tail_up == "polyphase":
+                    from super_resolution_tpu.ops.upsample_conv import (
+                        nearest_up_conv,
+                    )
+
+                    kern, bias = _ConvParams(
+                        (3, 3, fea.shape[-1], cfg.filters), cfg.init,
+                        name=f"upconv{u + 1}")()
+                    fea = nearest_up_conv(
+                        fea.astype(self.dtype), kern.astype(self.dtype),
+                        bias, precision=precision_for(self.dtype))
+                else:
+                    fea = nearest_upsample(fea, 2)
+                    fea = _conv3x3(fea, cfg.filters,
+                                   name=f"upconv{u + 1}",
+                                   scheme=cfg.init, dtype=self.dtype,
+                                   impl=cfg.conv_impl)
                 fea = nn.leaky_relu(fea, cfg.lrelu_slope)
             elif cfg.upsampler == "pixelshuffle":
                 fea = _conv3x3(fea, cfg.filters * 4, name=f"upconv{u + 1}",

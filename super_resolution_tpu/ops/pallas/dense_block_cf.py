@@ -77,27 +77,59 @@ def pack_weights_cf(w_hwio: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel5(*refs, rows, width, n_convs, growth, filters,
-             res_scale, slope, h_img, n_in_blocks, cin, save_acts=False):
-    blocks = refs[:n_in_blocks]
-    w_refs = refs[n_in_blocks:n_in_blocks + n_convs]
-    b_refs = refs[n_in_blocks + n_convs:n_in_blocks + 2 * n_convs]
-    o_ref = refs[n_in_blocks + 2 * n_convs]
-    act_refs = refs[n_in_blocks + 2 * n_convs + 1:
-                    n_in_blocks + 2 * n_convs + n_convs] if save_acts \
+             res_scale, slope, h_img, n_in_blocks, cin, save_acts=False,
+             img_w=None):
+    # ``width`` is the LANE width of a row; ``img_w`` the per-image width.
+    # They differ under batch-to-lane folding (g images side by side in
+    # lanes so g·img_w % 128 == 0 → every dy-window slice below is
+    # 128-aligned, no Mosaic relayouts at training widths like 48).  The
+    # dx edge masks operate per image (col = lane % img_w), which also
+    # keeps the roll from leaking pixels across fold boundaries.
+    #
+    # Input delivery (static, n_in_blocks == 0 ⟺ DMA): DMA mode reads
+    # the band straight from the HBM-resident input into the scratch —
+    # no double-buffered grid blocks, which frees enough VMEM for larger
+    # rows (less halo recompute).  Needs band lanes and per-band stride
+    # to be 128-multiples (always true folded / at W % 128 == 0).
+    img_w = width if img_w is None else img_w
+    dma_in = n_in_blocks == 0
+    nb = 1 if dma_in else n_in_blocks
+    blocks = refs[:nb]
+    w_refs = refs[nb:nb + n_convs]
+    b_refs = refs[nb + n_convs:nb + 2 * n_convs]
+    o_ref = refs[nb + 2 * n_convs]
+    act_refs = refs[nb + 2 * n_convs + 1:
+                    nb + 2 * n_convs + n_convs] if save_acts \
         else ()
-    feat_ref = refs[-1]
+    if dma_in:
+        feat_ref, in_sem = refs[-2:]
+    else:
+        feat_ref = refs[-1]
     band_row0 = pl.program_id(1) * rows
 
     halo = n_convs
-    # assemble the input band: n_in_blocks aligned (cin, rows·W) stores
-    for j, b in enumerate(blocks):
-        feat_ref[0:cin, j * rows * width:(j + 1) * rows * width] = b[0]
-    dtype = blocks[0].dtype
+    band_rows = rows + 2 * halo
+    if dma_in:
+        cp = pltpu.make_async_copy(
+            blocks[0].at[pl.program_id(0), :,
+                         pl.ds(pl.program_id(1) * rows * width,
+                               band_rows * width)],
+            feat_ref.at[pl.ds(0, cin), :],
+            in_sem)
+        cp.start()
+        cp.wait()
+        dtype = feat_ref.dtype
+    else:
+        # assemble the input band: nb aligned (cin, rows·W) stores
+        for j, b in enumerate(blocks):
+            feat_ref[0:cin,
+                     j * rows * width:(j + 1) * rows * width] = b[0]
+        dtype = blocks[0].dtype
 
     # hoisted per-kernel masks (conv 0 has the widest output window)
     m_max = (rows + 2 * (halo - 1)) * width
     lane_max = jax.lax.broadcasted_iota(jnp.int32, (1, m_max), 1)
-    col_max = lane_max % width
+    col_max = lane_max % img_w
 
     coff = cin
     for k in range(n_convs):
@@ -124,7 +156,7 @@ def _kernel5(*refs, rows, width, n_convs, growth, filters,
         col = col_max[:, :m_out]
         mid = acc[cout:2 * cout]
         left = jnp.where(col > 0, pltpu.roll(acc[0:cout], 1, 1), 0.0)
-        right = jnp.where(col < width - 1,
+        right = jnp.where(col < img_w - 1,
                           pltpu.roll(acc[2 * cout:3 * cout],
                                      m_out - 1, 1), 0.0)
         out = left + mid + right + b_refs[k][0][:, None]
@@ -150,16 +182,23 @@ def _kernel5(*refs, rows, width, n_convs, growth, filters,
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope",
-                                             "save_acts", "interpret"))
+                                             "save_acts", "interpret",
+                                             "img_w"))
 def fused_dense_block_cf5(x: jnp.ndarray,
                           weights: Sequence[jnp.ndarray],
                           biases: Sequence[jnp.ndarray],
                           *, rows: int = 32, res_scale: float = 0.2,
                           slope: float = 0.2, save_acts: bool = False,
-                          interpret: bool = False):
-    """dy-in-K / dx-in-M fused dense block; same contract as
-    :func:`fused_dense_block_cf`.  With ``save_acts`` also returns the
-    intermediate activations (custom-VJP residuals)."""
+                          interpret: bool = False, img_w: int | None = None):
+    """dy-in-K / dx-in-M fused dense block over (B, C, H, W)
+    channels-first input.  With ``save_acts`` also returns the
+    intermediate activations (custom-VJP residuals).
+
+    ``img_w``: per-image width when the caller batch-folds g images
+    side-by-side into the lane axis (W = g·img_w, chosen so W % 128 == 0
+    at unaligned per-image widths — see models/rrdb.py fold logic); the
+    dx edge masks then apply per image.  None = no fold (masks at the
+    row width)."""
     batch, cin, h, w = x.shape
     n_convs = len(weights)
     growth = weights[0].shape[-1]
@@ -176,10 +215,15 @@ def fused_dense_block_cf5(x: jnp.ndarray,
     wps = [pack_weights_cf(wk).astype(x.dtype) for wk in weights]
     b2 = [bk.reshape(1, -1).astype(jnp.float32) for bk in biases]
 
+    band_rows = rows + 2 * halo
+    # DMA input delivery when lane-tile alignment allows (see _kernel5)
+    dma_in = (band_rows * w) % 128 == 0 and (rows * w) % 128 == 0
+
     kern = functools.partial(
         _kernel5, rows=rows, width=w, n_convs=n_convs,
         growth=growth, filters=filters, res_scale=res_scale, slope=slope,
-        h_img=h, n_in_blocks=n_in_blocks, cin=cin, save_acts=save_acts)
+        h_img=h, n_in_blocks=0 if dma_in else n_in_blocks, cin=cin,
+        save_acts=save_acts, img_w=img_w)
 
     in_block = lambda off: pl.BlockSpec(                      # noqa: E731
         (1, cin, rows * w), lambda b, i, o=off: (b, 0, i + o),
@@ -199,19 +243,29 @@ def fused_dense_block_cf5(x: jnp.ndarray,
                                 memory_space=pltpu.VMEM)
         out_shapes = [out_shape] + [act_shape] * (n_convs - 1)
         out_specs = [out_spec] + [act_spec] * (n_convs - 1)
+    if dma_in:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+        call_ins = [x_flat]
+        feat_lanes = band_rows * w
+        sem_scratch = [pltpu.SemaphoreType.DMA(())]
+    else:
+        in_specs = [in_block(o) for o in range(n_in_blocks)]
+        call_ins = [x_flat] * n_in_blocks
+        feat_lanes = n_in_blocks * rows * w
+        sem_scratch = []
     res = pl.pallas_call(
         kern,
         grid=(batch, n_bands),
-        in_specs=[in_block(o) for o in range(n_in_blocks)]
+        in_specs=in_specs
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_convs),
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((c_total, n_in_blocks * rows * w),
-                                   x.dtype)],
+        scratch_shapes=[pltpu.VMEM((c_total, feat_lanes), x.dtype)]
+        + sem_scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size * 4, transcendentals=0),
         interpret=interpret,
-    )(*([x_flat] * n_in_blocks), *wps, *b2)
+    )(*call_ins, *wps, *b2)
     unflat = lambda a: a.reshape(batch, a.shape[1], h, w)     # noqa: E731
     if save_acts:
         return unflat(res[0]), [unflat(a) for a in res[1:]]

@@ -67,17 +67,39 @@ def unpack_weight_grad(dw9: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
-                 res_scale, slope, h_img, n_in_blocks, cin):
-    nb = n_in_blocks
+                 res_scale, slope, h_img, cin, img_w=None,
+                 n_in_blocks=0):
+    # width = lane width of a row; img_w = per-image width under
+    # batch-to-lane folding (dense_block_cf._kernel5 docstring) — the dx
+    # edge masks apply per image, all dy-window offsets j·width become
+    # 128-aligned when the caller folds g = 128/gcd(W,128) images.
+    #
+    # Input delivery (static choice, n_in_blocks == 0 ⟺ DMA):
+    # - DMA mode: srcs arrive as full (B, C_j, Hp·W) HBM refs and each
+    #   band is copied straight into the feature scratch.  Grid-block
+    #   delivery needed n_in_blocks double-buffered copies of every
+    #   source (~8 MB of VMEM at the folded training geometry — the
+    #   scoped-VMEM OOM found in round 3).  Requires the band lanes and
+    #   the per-band stride to be 128-multiples (Mosaic DMA slice
+    #   constraint) — always true folded, and at W % 128 == 0.
+    # - block mode: the round-2 delivery, kept for unaligned unfolded
+    #   widths (training routes those to lax anyway).
+    img_w = width if img_w is None else img_w
+    dma_in = n_in_blocks == 0
     n_srcs = n_convs              # x + a1..a4
-    src_blocks = [refs[j * nb:(j + 1) * nb] for j in range(n_srcs)]
+    nb = 1 if dma_in else n_in_blocks
+    srcs = refs[:n_srcs * nb]
     g_ref = refs[n_srcs * nb]
     w_refs = refs[n_srcs * nb + 1:n_srcs * nb + 1 + n_convs]
     outs = refs[n_srcs * nb + 1 + n_convs:
                 n_srcs * nb + 1 + n_convs + 1 + 2 * n_convs]
     o_dx, o_dws, o_dbs = outs[0], outs[1:1 + n_convs], outs[1 + n_convs:]
-    feat_ref, dfeat_ref, dz_ref = refs[-3:]
+    if dma_in:
+        feat_ref, dfeat_ref, dz_ref, in_sems, dx_sem = refs[-5:]
+    else:
+        feat_ref, dfeat_ref, dz_ref = refs[-3:]
 
+    b_idx = pl.program_id(0)
     band_row0 = pl.program_id(1) * rows
     halo = n_convs
     band_rows = rows + 2 * halo
@@ -88,14 +110,32 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
         for r in list(o_dws) + list(o_dbs):
             r[:] = jnp.zeros_like(r)
 
-    # ---- assemble feats (x | a1 | .. | a4): aligned lane-block stores
+    # ---- assemble feats (x | a1 | .. | a4) into the scratch
     offs = [0] + [cin + growth * j for j in range(n_convs - 1)]
-    for j, blocks in enumerate(src_blocks):
-        c0 = offs[j]
-        cs = cin if j == 0 else growth
-        for b_i, b in enumerate(blocks):
-            feat_ref[c0:c0 + cs,
-                     b_i * rows * width:(b_i + 1) * rows * width] = b[0]
+    if dma_in:
+        start = pl.program_id(1) * rows * width
+        copies = []
+        for j, src in enumerate(srcs):
+            c0 = offs[j]
+            cs = cin if j == 0 else growth
+            cp = pltpu.make_async_copy(
+                src.at[b_idx, :, pl.ds(start, band_rows * width)],
+                feat_ref.at[pl.ds(c0, cs), :],
+                in_sems.at[j])
+            cp.start()
+            copies.append(cp)
+        for cp in copies:
+            cp.wait()
+    else:
+        # full aligned (C, rows·W) block stores; the scratch is sized
+        # n_in_blocks·rows·W in this mode so the last store fits whole
+        src_blocks = [srcs[j * nb:(j + 1) * nb] for j in range(n_srcs)]
+        for j, blocks in enumerate(src_blocks):
+            c0 = offs[j]
+            cs = cin if j == 0 else growth
+            for b_i, b in enumerate(blocks):
+                feat_ref[c0:c0 + cs,
+                         b_i * rows * width:(b_i + 1) * rows * width] = b[0]
 
     dfeat_ref[:] = jnp.zeros_like(dfeat_ref)
     # residual identity: dx central += g
@@ -104,7 +144,7 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
 
     m_max = (rows + 2 * (halo - 1)) * width
     lane_max = jax.lax.broadcasted_iota(jnp.int32, (1, m_max), 1)
-    col_max = lane_max % width
+    col_max = lane_max % img_w
 
     for k in range(n_convs - 1, -1, -1):
         last = k == n_convs - 1
@@ -141,7 +181,7 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
         # Arithmetic 0/1 masks, not jnp.where — Mosaic rejects the
         # broadcast-i1 select feeding these stores with an "invalid
         # relayout: non-singleton dimension replicated" error.
-        m_last = (col < width - 1).astype(jnp.float32)
+        m_last = (col < img_w - 1).astype(jnp.float32)
         m_first = (col > 0).astype(jnp.float32)
         dz_ref[0:cout, 0:m_out] = (
             pltpu.roll(dout, m_out - 1, 1) * m_last).astype(dz_ref.dtype)
@@ -166,14 +206,26 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
             dfeat_ref[0:c_in_k, lanes_dy] = \
                 dfeat_ref[0:c_in_k, lanes_dy] + dpart
 
-    o_dx[:] = dfeat_ref[0:cin, 0:band_rows * width][None, None]
+    if dma_in:
+        # widened input-grad band → HBM, also by DMA (a grid-block
+        # output would double-buffer another 3.5 MB of VMEM at the
+        # folded geometry)
+        dx_cp = pltpu.make_async_copy(
+            dfeat_ref.at[pl.ds(0, cin), :],
+            o_dx.at[b_idx, pl.program_id(1)],
+            dx_sem)
+        dx_cp.start()
+        dx_cp.wait()
+    else:
+        o_dx[:] = dfeat_ref[0:cin, 0:band_rows * width][None, None]
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope",
-                                             "interpret"))
+                                             "interpret", "img_w"))
 def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
                               res_scale: float, slope: float,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              img_w: int | None = None):
     """Backward of :func:`fused_dense_block_cf5`: returns
     ``(dx, [dW_k HWIO], [db_k])`` given the saved activations."""
     batch, cin, h, w = x.shape
@@ -195,31 +247,49 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
     g_flat = g.reshape(batch, filters, h * w)
     wps = [pack_weights_cf(wk).astype(x.dtype) for wk in weights]
 
+    # DMA input delivery needs the band slice and per-band stride to be
+    # lane-tile (128) multiples — always true under the fold; unaligned
+    # unfolded widths keep the round-2 grid-block delivery
+    dma_in = (band_rows * w) % 128 == 0 and (rows * w) % 128 == 0
+
     kern = functools.partial(
         _kernel5_bwd, rows=rows, width=w, n_convs=n_convs, growth=growth,
         filters=filters, res_scale=res_scale, slope=slope, h_img=h,
-        n_in_blocks=n_in_blocks, cin=cin)
+        cin=cin, img_w=img_w,
+        n_in_blocks=0 if dma_in else n_in_blocks)
 
-    def in_block(chans, off):
-        return pl.BlockSpec((1, chans, rows * w),
-                            lambda b, i, o=off: (b, 0, i + o),
-                            memory_space=pltpu.VMEM)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if dma_in:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * n_convs
+        call_srcs = list(srcs)
+        dx_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+        feat_lanes = band_rows * w
+        sem_scratch = [pltpu.SemaphoreType.DMA((n_convs,)),
+                       pltpu.SemaphoreType.DMA(())]
+    else:
+        def in_block(chans, off):
+            return pl.BlockSpec((1, chans, rows * w),
+                                lambda b, i, o=off: (b, 0, i + o),
+                                memory_space=pltpu.VMEM)
 
-    in_specs = []
-    for j in range(n_convs):
-        chans = cin if j == 0 else growth
-        in_specs += [in_block(chans, o) for o in range(n_in_blocks)]
+        in_specs = []
+        for j in range(n_convs):
+            chans = cin if j == 0 else growth
+            in_specs += [in_block(chans, o) for o in range(n_in_blocks)]
+        call_srcs = [s for src in srcs for s in [src] * n_in_blocks]
+        dx_spec = pl.BlockSpec((1, 1, cin, band_rows * w),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        feat_lanes = n_in_blocks * rows * w
+        sem_scratch = []
     in_specs.append(pl.BlockSpec((1, filters, rows * w),
                                  lambda b, i: (b, 0, i),
                                  memory_space=pltpu.VMEM))
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_convs
 
-    const = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shapes = [jax.ShapeDtypeStruct(
         (batch, n_bands, cin, band_rows * w), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, 1, cin, band_rows * w),
-                              lambda b, i: (b, i, 0, 0),
-                              memory_space=pltpu.VMEM)]
+    out_specs = [dx_spec]
     for k in range(n_convs):
         cout = filters if k == n_convs - 1 else growth
         out_shapes.append(jax.ShapeDtypeStruct(
@@ -240,14 +310,14 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((c_total, n_in_blocks * rows * w), x.dtype),  # feats
+            pltpu.VMEM((c_total, feat_lanes), x.dtype),          # feats
             pltpu.VMEM((c_total, band_rows * w), jnp.float32),   # dfeats
             pltpu.VMEM((3 * max(filters, growth), m_max), x.dtype),  # dacc
-        ],
+        ] + sem_scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size * 8, transcendentals=0),
         interpret=interpret,
-    )(*[s for src in srcs for s in [src] * n_in_blocks], g_flat, *wps)
+    )(*call_srcs, g_flat, *wps)
 
     dxw = res[0]
     dw9s = res[1:1 + n_convs]
@@ -280,8 +350,9 @@ def _bwd_rows(h: int, w: int, rows_fwd: int) -> int:
     return min(rows_fwd, 8)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def dense_block_cf_train(x, weights, biases, rows, res_scale, slope):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def dense_block_cf_train(x, weights, biases, rows, res_scale, slope,
+                         img_w=None):
     """Differentiable fused dense block: Pallas forward AND backward
     (both v5 geometry).  ``weights``/``biases`` are lists; grads flow to
     all three inputs.
@@ -290,24 +361,27 @@ def dense_block_cf_train(x, weights, biases, rows, res_scale, slope):
     (ops/pallas/partitioned.py), so batch-sharded DP inference runs the
     kernel per shard instead of gathering.
 
+    ``img_w`` is the per-image width under batch-to-lane folding
+    (models/rrdb.py folds g = 128/gcd(W,128) images into the lane axis
+    at unaligned widths so every dy-window slice in BOTH directions is
+    128-aligned — the round-2 relayout tax at W=48 training patches was
+    exactly these unaligned offsets; BENCHNOTES.md round 3).
+
     Measured routing note (BENCHNOTES.md round 2, L2-cotangent fwd+bwd):
     the Mosaic backward wins 1.42× over lax autodiff at W % 128 == 0
-    (73.9 vs 51.9 TF/s at 8×64×128²) but loses 1.3× at unaligned widths
-    (the dy window offsets (k+dy)·W relayout every matmul operand) —
-    so ``train/steps._training_cfg`` keeps ``pallas_cf`` for training
-    only when the LR patch width is a multiple of 128 and falls back to
-    lax otherwise.  Inference (no grad) uses the kernel at any
-    supported width.  Differentiating this op at an unaligned width is
-    still *correct*, just slower than lax."""
+    (73.9 vs 51.9 TF/s at 8×64×128²); at unaligned widths the fold
+    restores alignment when the batch divides by g, and
+    ``train/steps._training_cfg`` falls back to lax otherwise."""
     from super_resolution_tpu.ops.pallas.partitioned import (
         partitioned_dense_block,
     )
 
-    fn = partitioned_dense_block(len(weights), rows, res_scale, slope)
+    fn = partitioned_dense_block(len(weights), rows, res_scale, slope,
+                                 img_w=img_w)
     return fn(x, *weights, *biases)
 
 
-def _train_fwd(x, weights, biases, rows, res_scale, slope):
+def _train_fwd(x, weights, biases, rows, res_scale, slope, img_w=None):
     # batch-partitioned save-acts forward: under a batch-sharded DP jit
     # the kernel runs per shard (ops/pallas/partitioned.py)
     from super_resolution_tpu.ops.pallas.partitioned import (
@@ -315,12 +389,13 @@ def _train_fwd(x, weights, biases, rows, res_scale, slope):
     )
 
     res = partitioned_dense_block_fwd(len(weights), rows, res_scale,
-                                      slope)(x, *weights, *biases)
+                                      slope, img_w=img_w)(
+        x, *weights, *biases)
     y, acts = res[0], res[1:]
     return y, (x, tuple(weights), tuple(acts))
 
 
-def _train_bwd(rows, res_scale, slope, residuals, g):
+def _train_bwd(rows, res_scale, slope, img_w, residuals, g):
     # batch-partitioned Mosaic backward: dx per shard, dW/db psum'd over
     # the mesh axis inside the partition — the DP gradient all-reduce
     from super_resolution_tpu.ops.pallas.partitioned import (
@@ -330,8 +405,8 @@ def _train_bwd(rows, res_scale, slope, residuals, g):
     x, weights, acts = residuals
     n = len(weights)
     res = partitioned_dense_block_bwd(
-        n, _bwd_rows(x.shape[2], x.shape[3], rows), res_scale, slope)(
-        x, *acts, g, *weights)
+        n, _bwd_rows(x.shape[2], x.shape[3], rows), res_scale, slope,
+        img_w=img_w)(x, *acts, g, *weights)
     dx, dws, dbs = res[0], res[1:1 + n], res[1 + n:]
     # cotangent dtypes must match the primal inputs (weights may be bf16)
     dws = [d.astype(w.dtype) for d, w in zip(dws, weights)]

@@ -46,7 +46,8 @@ def _batch_axis(shardings):
 
 @functools.lru_cache(maxsize=None)
 def partitioned_dense_block(n_convs: int, rows: int, res_scale: float,
-                            slope: float, interpret: bool = False):
+                            slope: float, interpret: bool = False,
+                            img_w: int | None = None):
     """A ``custom_partitioning``-wrapped v5 fused dense block for the
     given static config.  Call as ``fn(x, *weights, *biases)``."""
 
@@ -55,7 +56,7 @@ def partitioned_dense_block(n_convs: int, rows: int, res_scale: float,
         bs = list(wb[n_convs:])
         return fused_dense_block_cf5(x, ws, bs, rows=rows,
                                      res_scale=res_scale, slope=slope,
-                                     interpret=interpret)
+                                     interpret=interpret, img_w=img_w)
 
     f = custom_partitioning(impl)
 
@@ -91,7 +92,8 @@ def partitioned_dense_block(n_convs: int, rows: int, res_scale: float,
 
 @functools.lru_cache(maxsize=None)
 def partitioned_dense_block_fwd(n_convs: int, rows: int, res_scale: float,
-                                slope: float, interpret: bool = False):
+                                slope: float, interpret: bool = False,
+                                img_w: int | None = None):
     """Save-acts forward (custom-VJP residual producer), batch-
     partitioned: call as ``fn(x, *weights, *biases)`` →
     ``(y, a1..a{n-1})``, all batch-sharded like x."""
@@ -102,7 +104,7 @@ def partitioned_dense_block_fwd(n_convs: int, rows: int, res_scale: float,
         y, acts = fused_dense_block_cf5(x, ws, bs, rows=rows,
                                         res_scale=res_scale, slope=slope,
                                         save_acts=True,
-                                        interpret=interpret)
+                                        interpret=interpret, img_w=img_w)
         return (y, *acts)
 
     f = custom_partitioning(impl)
@@ -133,7 +135,8 @@ def partitioned_dense_block_fwd(n_convs: int, rows: int, res_scale: float,
 
 @functools.lru_cache(maxsize=None)
 def partitioned_dense_block_bwd(n_convs: int, rows: int, res_scale: float,
-                                slope: float, interpret: bool = False):
+                                slope: float, interpret: bool = False,
+                                img_w: int | None = None):
     """Batch-partitioned Mosaic backward: call as
     ``fn(x, *acts, g, *weights)`` → ``(dx, dW_1..dW_n, db_1..db_n)``.
     dx comes back batch-sharded; the weight/bias grads are psum'd over
@@ -150,7 +153,7 @@ def partitioned_dense_block_bwd(n_convs: int, rows: int, res_scale: float,
         ws = list(rest[n_convs:])
         dx, dws, dbs = fused_dense_block_cf5_bwd(
             x, acts, ws, g, rows=rows, res_scale=res_scale, slope=slope,
-            interpret=interpret)
+            interpret=interpret, img_w=img_w)
         return (dx, *dws, *dbs)
 
     f = custom_partitioning(local)

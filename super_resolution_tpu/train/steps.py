@@ -64,21 +64,35 @@ def _training_cfg(cfg: TrainConfig) -> TrainConfig:
     ops/pallas/dense_block_cf_vjp.py) and trains as-is — single chip OR
     under data parallelism (the forward/backward are batch-partitioned
     via custom_partitioning, with the weight-grad psum inside the
-    partition; ops/pallas/partitioned.py).  But the kernel only *wins*
-    when the LR patch width is a multiple of 128 (measured: kernel
-    fwd+bwd 1.42× faster at W=128, 1.3× slower at W=48 where the
-    dy-window lane offsets are unaligned; BENCHNOTES.md round 2), so
-    unaligned-width training falls back to lax.  The experimental
-    ``pallas``/``pallas_fused`` paths define no VJP and always fall
-    back.  The param tree is implementation-agnostic either way, so
-    checkpoints swap freely."""
+    partition; ops/pallas/partitioned.py).  The kernel wins when the
+    row width the MXU sees is 128-aligned: either the LR patch width is
+    a multiple of 128, or the model's batch-to-lane fold
+    (models/rrdb._fold_factor) can make it one — at the canonical 192²
+    patches (W=48) the fold packs g=8 images per lane row
+    (BENCHNOTES.md round 3).  Folding is kept off under data
+    parallelism: the fold reshape crosses batch shards, so DP training
+    at unaligned widths stays on lax (the round-2 status quo).  The
+    experimental ``pallas``/``pallas_fused`` paths define no VJP and
+    always fall back.  The param tree is implementation-agnostic either
+    way, so checkpoints swap freely."""
     import dataclasses
 
+    from super_resolution_tpu.models.rrdb import _fold_factor, _pick_rows
+
     impl = cfg.generator.conv_impl
-    lr_w = cfg.data.lr_patch_hw[1]
-    if impl == "lax" or (impl in ("pallas_cf", "pallas_cf_tail")
-                         and lr_w % 128 == 0):
+    lr_h, lr_w = cfg.data.lr_patch_hw
+    if impl == "lax":
         return cfg
+    if impl in ("pallas_cf", "pallas_cf_tail"):
+        if lr_w % 128 == 0:
+            return cfg
+        g = _fold_factor(cfg.data.batch_size, lr_w)
+        c_total = cfg.generator.filters \
+            + (cfg.generator.n_dense_convs - 1) * cfg.generator.growth
+        if (cfg.data_parallel <= 1 and g > 1
+                and _pick_rows(lr_h, g * lr_w, c_total=c_total)
+                is not None):
+            return cfg
     return dataclasses.replace(
         cfg, generator=dataclasses.replace(cfg.generator,
                                            conv_impl="lax"))

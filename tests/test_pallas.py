@@ -549,3 +549,145 @@ def test_fused_dense_block_cf8_int8_accuracy():
         got = fused_dense_block_cf8(x, ws, bs, rows=8)
     rel = float(jnp.abs(got - ref).max()) / float(jnp.abs(ref).max())
     assert rel < 0.02, rel
+
+
+def _rand_block_params(nf, gc, seed=100):
+    ws, bs = [], []
+    cin = nf
+    for k in range(5):
+        cout = nf if k == 4 else gc
+        ws.append(jax.random.normal(jax.random.key(seed + k),
+                                    (3, 3, cin, cout), jnp.float32) * 0.1)
+        bs.append(jax.random.normal(jax.random.key(seed + 50 + k), (cout,),
+                                    jnp.float32) * 0.1)
+        cin += gc
+    return ws, bs
+
+
+def _fold_cf(x, g):
+    """(B, C, H, W) → (B/g, C, H, g·W): g images side by side in lanes."""
+    b, c, h, w = x.shape
+    return jnp.transpose(x.reshape(b // g, g, c, h, w),
+                         (0, 2, 3, 1, 4)).reshape(b // g, c, h, g * w)
+
+
+def _unfold_cf(y, g):
+    b, c, h, gw = y.shape
+    w = gw // g
+    return jnp.transpose(y.reshape(b, c, h, g, w),
+                         (0, 3, 1, 2, 4)).reshape(b * g, c, h, w)
+
+
+def test_fused_dense_block_cf5_batch_fold_matches_lax():
+    """Batch-to-lane folding (img_w < lane width): g images concatenated
+    along lanes must produce exactly the per-image results — the dx edge
+    masks must not leak pixels across fold boundaries (round-3 aligned-
+    width training design, BENCHNOTES.md)."""
+    from super_resolution_tpu.ops.pallas.dense_block_cf import (
+        fused_dense_block_cf5,
+    )
+
+    nf, gc, g, rows = 16, 8, 4, 8
+    ws, bs = _rand_block_params(nf, gc)
+    x = jax.random.normal(jax.random.key(3), (4, 16, nf, 32), jnp.float32)
+    x = jnp.transpose(x, (0, 2, 1, 3))          # (4, nf, 16, 32)
+    ref = _ref_dense_block(jnp.transpose(x, (0, 2, 3, 1)), ws, bs)
+    ref = jnp.transpose(ref, (0, 3, 1, 2))
+
+    with pltpu.force_tpu_interpret_mode():
+        y_fold = fused_dense_block_cf5(_fold_cf(x, g), ws, bs, rows=rows,
+                                       img_w=32)
+    out = _unfold_cf(y_fold, g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_dense_block_cf_vjp_batch_fold_matches_lax_grads():
+    """Grads through the folded kernel fwd+bwd == lax grads on the
+    unfolded batch (dW/db sum over all images, dx per image)."""
+    from super_resolution_tpu.ops.pallas.dense_block_cf_vjp import (
+        dense_block_cf_train,
+    )
+
+    nf, gc, g, rows = 16, 8, 4, 8
+    ws, bs = _rand_block_params(nf, gc, seed=200)
+    x = jax.random.normal(jax.random.key(4), (4, nf, 16, 32), jnp.float32)
+    tgt = jax.random.normal(jax.random.key(5), x.shape, jnp.float32)
+
+    def loss_ref(x, ws, bs):
+        y = _ref_dense_block(jnp.transpose(x, (0, 2, 3, 1)), ws, bs)
+        return jnp.sum((jnp.transpose(y, (0, 3, 1, 2)) - tgt) ** 2)
+
+    def loss_fold(x, ws, bs):
+        y = dense_block_cf_train(_fold_cf(x, g), ws, bs, rows, 0.2, 0.2,
+                                 32)
+        return jnp.sum((_unfold_cf(y, g) - tgt) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, ws, bs)
+    with pltpu.force_tpu_interpret_mode():
+        gk = jax.grad(loss_fold, argnums=(0, 1, 2))(x, ws, bs)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                               atol=2e-4, rtol=1e-4)
+    for a, b in zip(gk[1], gr[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
+    for a, b in zip(gk[2], gr[2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
+
+
+def test_rrdbnet_pallas_cf_folds_unaligned_width():
+    """End-to-end: RRDBNet with pallas_cf at an unaligned LR width folds
+    the trunk automatically (g = 128/gcd(W,128)) and matches the lax
+    model output AND gradients."""
+    cfg_lax = GeneratorConfig(n_blocks=1, filters=16, growth=8,
+                              conv_impl="lax")
+    cfg_cf = GeneratorConfig(n_blocks=1, filters=16, growth=8,
+                             conv_impl="pallas_cf")
+    x = jax.random.normal(jax.random.key(6), (4, 16, 32, 3), jnp.float32)
+    net_lax = RRDBNet(cfg_lax, dtype=jnp.float32)
+    net_cf = RRDBNet(cfg_cf, dtype=jnp.float32)
+    params = net_lax.init(jax.random.key(0), x[:1])
+
+    y_ref = net_lax.apply(params, x)
+    with pltpu.force_tpu_interpret_mode():
+        y_cf = net_cf.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_cf), np.asarray(y_ref),
+                               atol=5e-5, rtol=1e-4)
+
+    tgt = jax.random.normal(jax.random.key(7),
+                            (4, 64, 128, 3), jnp.float32)
+    g_ref = jax.grad(
+        lambda p: jnp.mean((net_lax.apply(p, x) - tgt) ** 2))(params)
+    with pltpu.force_tpu_interpret_mode():
+        g_cf = jax.grad(
+            lambda p: jnp.mean((net_cf.apply(p, x) - tgt) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g_cf), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=2e-3)
+
+
+def test_training_cfg_fold_routing():
+    """_training_cfg keeps pallas_cf at unaligned widths when the
+    batch-to-lane fold applies (single device, batch divisible by g) and
+    falls back to lax otherwise."""
+    import dataclasses as dc
+
+    from super_resolution_tpu.config import DataConfig, TrainConfig
+    from super_resolution_tpu.train.steps import _training_cfg
+
+    base = TrainConfig(
+        generator=GeneratorConfig(conv_impl="pallas_cf"),
+        data=DataConfig(hr_patch=192, batch_size=16))
+    # W=48, g=8 | 16 → kernel stays
+    assert _training_cfg(base).generator.conv_impl == "pallas_cf"
+    # batch not divisible by g → lax
+    b6 = dc.replace(base, data=dc.replace(base.data, batch_size=6))
+    assert _training_cfg(b6).generator.conv_impl == "lax"
+    # DP → fold disabled → lax
+    dp = dc.replace(base, data_parallel=8)
+    assert _training_cfg(dp).generator.conv_impl == "lax"
+    # aligned width → kernel regardless
+    al = dc.replace(dp, data=dc.replace(base.data, hr_patch=512,
+                                        batch_size=4))
+    assert _training_cfg(al).generator.conv_impl == "pallas_cf"
