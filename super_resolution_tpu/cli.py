@@ -168,10 +168,10 @@ def _add_common(p: argparse.ArgumentParser):
                    choices=("lax", "pallas", "pallas_fused", "pallas_cf",
                             "pallas_cf_tail"),
                    help="generator conv implementation; pallas_cf is the "
-                        "fastest measured inference path on TPU "
-                        "(BENCHNOTES.md); training uses it only when the "
-                        "LR patch width is a multiple of 128 (measured "
-                        "win), else lax")
+                        "fastest measured TPU path for inference AND "
+                        "training (BENCHNOTES.md); training falls back "
+                        "to lax only at widths that neither align to "
+                        "128 nor admit the batch-to-lane fold")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--data_parallel", type=int, default=None,
                    help="mesh size: shard the batch axis (train) or the "

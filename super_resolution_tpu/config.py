@@ -49,9 +49,12 @@ class GeneratorConfig:
     # "lax"            XLA's conv emitter — default, always-correct
     # "pallas_cf"      channels-first fused dense-block kernel v5 —
     #                  fastest measured TPU inference (2.6× lax per
-    #                  block, 40 MP/s/chip end-to-end); differentiable
+    #                  block, ~40 MP/s/chip end-to-end); differentiable
     #                  (custom Mosaic VJP), used for training when the
-    #                  LR patch width is a multiple of 128
+    #                  LR patch width is a multiple of 128 OR the
+    #                  batch-to-lane fold applies (e.g. the canonical
+    #                  192² patch: W=48 folds 8 images per lane row —
+    #                  13.1 vs 11.8 it/s over lax, BENCHNOTES round 3)
     # "pallas_cf_tail" pallas_cf + the single-conv kernel on the
     #                  upsample tail (measured slower than XLA there;
     #                  kept as an experiment)
@@ -59,12 +62,16 @@ class GeneratorConfig:
     #                  than lax on this chip; no VJP)
     conv_impl: str = "lax"
     # Tail upsample implementation for the nearest_conv upsampler:
-    # nearest-×2 + 3×3 conv is algebraically four 2×2 polyphase convs on
+    # "polyphase" computes nearest-×2 + 3×3 conv as four 2×2 convs on
     # the SMALL plane (2.25× fewer MACs, no upsampled-plane input read —
-    # ops/upsample_conv.py; XLA cannot fuse across the repeat→conv
-    # boundary).  Bit-equivalent up to fp rounding (tests/test_ops.py);
-    # "naive" keeps the literal repeat→conv form for A/B.
-    tail_up: str = "polyphase"        # "polyphase" | "naive"
+    # ops/upsample_conv.py; a fusion XLA cannot see across the
+    # repeat→conv boundary).  Bit-equivalent up to fp rounding
+    # (tests/test_ops.py).  Measured verdict (BENCHNOTES round 3): the
+    # phase-interleave transpose on the upsampled planes repays the MAC
+    # saving on this chip — inference 41.6 vs 40.9 MP/s, GAN step 13.72
+    # vs 13.66 it/s, both favoring naive — so the literal repeat→conv
+    # form stays the default and polyphase ships as a measured option.
+    tail_up: str = "naive"            # "naive" | "polyphase"
 
     @property
     def n_upsample(self) -> int:

@@ -115,11 +115,13 @@ def _pick_rows(h: int, w: int, cap: int = 4096, c_total: int = 192):
     scale it down proportionally — measured: growth-64 at rows=32/W=128
     overflows the 16 MB scoped-VMEM limit by 304 KB.  When the band is
     lane-tile aligned, the kernel's DMA input delivery (no
-    double-buffered grid blocks) frees ~1.5× more VMEM — the budget
-    rises to 6144 lanes (calibrated on the folded W=384 training
-    geometry, BENCHNOTES.md round 3).  None → lax."""
+    double-buffered grid blocks) frees VMEM — the budget rises to 5120
+    lanes.  (6144 — rows=16 at the folded W=384 training geometry —
+    compiled standalone but overflowed by 564 KB inside larger jit
+    contexts, and measured no faster than rows=8 anyway; BENCHNOTES.md
+    round 3.)  None → lax."""
     budget = cap * 192 // max(c_total, 1)
-    dma_budget = (cap + 2048) * 192 // max(c_total, 1)
+    dma_budget = (cap + 1024) * 192 // max(c_total, 1)
     for r in (32, 16, 8):
         if h % r != 0:
             continue

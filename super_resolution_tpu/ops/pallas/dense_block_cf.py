@@ -43,6 +43,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# bench/debug escape hatch for the DMA input-delivery path (see
+# fused_dense_block_cf5); flipping it only changes how bands reach VMEM
+DMA_IN_ENABLED = True
+
+
 def pack_weights_cf(w_hwio: jnp.ndarray) -> jnp.ndarray:
     """(3, 3, C, F) HWIO → (9F, C): row (dy*3+dx)*F + f, col c."""
     k_h, k_w, c, f = w_hwio.shape
@@ -216,8 +221,11 @@ def fused_dense_block_cf5(x: jnp.ndarray,
     b2 = [bk.reshape(1, -1).astype(jnp.float32) for bk in biases]
 
     band_rows = rows + 2 * halo
-    # DMA input delivery when lane-tile alignment allows (see _kernel5)
-    dma_in = (band_rows * w) % 128 == 0 and (rows * w) % 128 == 0
+    # DMA input delivery when lane-tile alignment allows (see _kernel5);
+    # DMA_IN_ENABLED is a bench/debug escape hatch (tools/model_bench.py
+    # A/B) — block delivery is always correct, just costs more VMEM
+    dma_in = (DMA_IN_ENABLED and (band_rows * w) % 128 == 0
+              and (rows * w) % 128 == 0)
 
     kern = functools.partial(
         _kernel5, rows=rows, width=w, n_convs=n_convs,

@@ -33,8 +33,11 @@ round-2 GAN it/s bench, BENCHNOTES.md).
 Band halos: the forward recomputes halo rows per band, so the gradient
 w.r.t. the input carries per-band contributions that overlap ±halo rows
 across band boundaries.  The kernel writes each band's *widened* input
-gradient disjointly ((B, n_bands, C, band_rows·W)); the wrapper
-overlap-adds the bands — a handful of XLA adds.  Weight/bias gradients
+gradient disjointly, band-major after channels
+((B, C, n_bands, band_rows·W)); the wrapper overlap-adds the bands as
+n_chunks shifted-pad additions with a free final reshape (the round-2
+per-band dynamic_update_slice chain was 16.7% of the whole GAN step in
+the round-3 device trace).  Weight/bias gradients
 accumulate across the sequential TPU grid into constant-index output
 blocks (zeroed on the first grid step — the standard Pallas accumulation
 pattern).  The backward bands independently of the forward (it
@@ -212,12 +215,14 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
         # folded geometry)
         dx_cp = pltpu.make_async_copy(
             dfeat_ref.at[pl.ds(0, cin), :],
-            o_dx.at[b_idx, pl.program_id(1)],
+            o_dx.at[b_idx, :,
+                    pl.ds(pl.program_id(1) * (band_rows * width),
+                          band_rows * width)],
             dx_sem)
         dx_cp.start()
         dx_cp.wait()
     else:
-        o_dx[:] = dfeat_ref[0:cin, 0:band_rows * width][None, None]
+        o_dx[:] = dfeat_ref[0:cin, 0:band_rows * width][None]
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope",
@@ -277,8 +282,8 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
             chans = cin if j == 0 else growth
             in_specs += [in_block(chans, o) for o in range(n_in_blocks)]
         call_srcs = [s for src in srcs for s in [src] * n_in_blocks]
-        dx_spec = pl.BlockSpec((1, 1, cin, band_rows * w),
-                               lambda b, i: (b, i, 0, 0),
+        dx_spec = pl.BlockSpec((1, cin, band_rows * w),
+                               lambda b, i: (b, 0, i),
                                memory_space=pltpu.VMEM)
         feat_lanes = n_in_blocks * rows * w
         sem_scratch = []
@@ -288,7 +293,7 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_convs
 
     out_shapes = [jax.ShapeDtypeStruct(
-        (batch, n_bands, cin, band_rows * w), jnp.float32)]
+        (batch, cin, n_bands * band_rows * w), jnp.float32)]
     out_specs = [dx_spec]
     for k in range(n_convs):
         cout = filters if k == n_convs - 1 else growth
@@ -324,17 +329,26 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
     dbs = [b[0] for b in res[1 + n_convs:]]
 
     # overlap-add the widened per-band input gradients (halo rows of
-    # neighboring bands both contribute to the same input rows)
-    h_pad = (n_bands + n_in_blocks - 1) * rows
-    dxw = dxw.reshape(batch, n_bands, cin, band_rows, w)
-    dx_pad = jnp.zeros((batch, cin, h_pad + halo, w), jnp.float32)
-    for i in range(n_bands):
-        dx_pad = jax.lax.dynamic_update_slice(
-            dx_pad,
-            jax.lax.dynamic_slice(
-                dx_pad, (0, 0, i * rows, 0),
-                (batch, cin, band_rows, w)) + dxw[:, i],
-            (0, 0, i * rows, 0))
+    # neighboring bands both contribute to the same input rows).  Bands
+    # live band-major after cin ((B, C, n_bands, band_rows·w)), so
+    # splitting each band into rows-sized chunks makes chunk j of band i
+    # land at row-block i + j of the output — the overlap-add collapses
+    # to n_chunks shifted-pad adds and a FREE final reshape.  (The
+    # previous per-band dynamic_update_slice chain was 16.7% of the
+    # whole GAN step in the device trace — BENCHNOTES round 3.)
+    n_chunks = -(-band_rows // rows)
+    h_pad = (n_bands + n_chunks - 1) * rows
+    dxw = dxw.reshape(batch, cin, n_bands, band_rows, w)
+    dxw = jnp.pad(dxw, ((0, 0), (0, 0), (0, 0),
+                        (0, n_chunks * rows - band_rows), (0, 0)))
+    chunks = dxw.reshape(batch, cin, n_bands, n_chunks, rows, w)
+    acc = None
+    for j in range(n_chunks):
+        term = jnp.pad(chunks[:, :, :, j],
+                       ((0, 0), (0, 0),
+                        (j, n_chunks - 1 - j), (0, 0), (0, 0)))
+        acc = term if acc is None else acc + term
+    dx_pad = acc.reshape(batch, cin, h_pad, w)
     dx = dx_pad[:, :, halo:halo + h].astype(x.dtype)
     dws = [unpack_weight_grad(d) for d in dw9s]
     return dx, dws, dbs
@@ -343,9 +357,18 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
 def _bwd_rows(h: int, w: int, rows_fwd: int) -> int:
     """The backward bands independently of the forward (it recomputes
     from full-plane residuals) — its fp32 dfeats scratch is the VMEM
-    hog, so cap rows·w at 2048 lanes (vs the forward's 4096)."""
-    for r in (32, 16, 8):
-        if h % r == 0 and r * w <= 2048:
+    hog.  Cap rows·w at 2048 lanes under grid-block input delivery; at
+    lane-tile-aligned geometries the DMA delivery frees the staging
+    buffers and the cap rises to 3072 (= rows=8 at the folded W=384
+    training geometry).  rows=12 there measured 7% faster in isolation
+    but overflowed scoped VMEM by 205 KB inside the full train-step jit
+    — the margin is context-dependent, so the cap stays at the
+    everywhere-validated size (BENCHNOTES round 3)."""
+    for r in (32, 16, 12, 8):
+        if h % r != 0:
+            continue
+        aligned = (r * w) % 128 == 0 and ((r + 10) * w) % 128 == 0
+        if r * w <= (3072 if aligned else 2048):
             return r
     return min(rows_fwd, 8)
 

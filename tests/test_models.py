@@ -116,3 +116,28 @@ def test_init_schemes_statistics(scheme):
             0.1 * np.sqrt(2.0 / fan_in), rel=0.1)
         assert float(jnp.abs(v["params"]["block0"]["dense1"]["conv2"]
                              ["bias"]).max()) == 0.0
+
+
+def test_tail_up_polyphase_matches_naive_model():
+    """GeneratorConfig.tail_up='polyphase' shares the param tree with
+    the naive repeat→conv form and produces the same output (fp32)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from super_resolution_tpu.config import GeneratorConfig
+    from super_resolution_tpu.models import RRDBNet
+
+    cfg = GeneratorConfig(n_blocks=1, filters=16, growth=8,
+                          tail_up="naive")
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 12, 10, 3)
+                    .astype(np.float32))
+    net_a = RRDBNet(cfg, dtype=jnp.float32)
+    params = net_a.init(jax.random.key(0), x)
+    net_b = RRDBNet(dataclasses.replace(cfg, tail_up="polyphase"),
+                    dtype=jnp.float32)
+    ya = net_a.apply(params, x)
+    yb = net_b.apply(params, x)          # same tree accepted
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
+                               atol=2e-5, rtol=1e-4)

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--hr", type=int, default=192)
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--tail_up", default="naive",
+                    choices=("polyphase", "naive"))
     args = ap.parse_args()
 
     import dataclasses
@@ -56,7 +58,7 @@ def main():
     for impl in args.impls.split(","):
         cfg = dataclasses.replace(
             preset("train_gan" if args.step == "gan" else "pretrain_psnr"),
-            generator=GeneratorConfig(conv_impl=impl),
+            generator=GeneratorConfig(conv_impl=impl, tail_up=args.tail_up),
             data=DataConfig(hr_patch=args.hr, batch_size=args.batch),
             loss=LossConfig(perceptual_source="d_features",
                             lambda_percep=1.0),
