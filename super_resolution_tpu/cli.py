@@ -119,6 +119,11 @@ def _load_generator(args, cfg):
         variables, gen_cfg = import_generator(
             load_pth(path), strict=not getattr(args, "lenient_import",
                                                False))
+        # keep the session's runtime knobs: the checkpoint determines the
+        # architecture, not the conv implementation / tail variant
+        gen_cfg = dataclasses.replace(
+            gen_cfg, conv_impl=cfg.generator.conv_impl,
+            tail_up=cfg.generator.tail_up)
         cfg = dataclasses.replace(cfg, generator=gen_cfg)
         return variables["params"], cfg
     if os.path.isdir(path):             # orbax checkpoint dir

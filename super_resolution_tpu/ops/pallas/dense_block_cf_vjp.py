@@ -60,6 +60,16 @@ from super_resolution_tpu.ops.pallas.dense_block_cf import (
     pack_weights_cf,
 )
 
+# Debug/bench escape hatch mirroring dense_block_cf.DMA_IN_ENABLED: False
+# forces the round-2 grid-block input delivery in the backward kernel.
+# Read at trace time — set before the first traced call in a process.
+DMA_IN_ENABLED = True
+
+# Debug aid: zero every scratch buffer at the top of each grid iteration
+# (interpret mode does this implicitly; hardware VMEM starts as garbage).
+# Diagnoses read-before-write bugs — never enable in production.
+DEBUG_INIT_SCRATCH = False
+
 
 def unpack_weight_grad(dw9: jnp.ndarray) -> jnp.ndarray:
     """(9F, C) packed-layout gradient → (3, 3, C, F) HWIO (the inverse of
@@ -112,6 +122,10 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
     def _init():
         for r in list(o_dws) + list(o_dbs):
             r[:] = jnp.zeros_like(r)
+
+    if DEBUG_INIT_SCRATCH:
+        feat_ref[:] = jnp.zeros_like(feat_ref)
+        dz_ref[:] = jnp.zeros_like(dz_ref)
 
     # ---- assemble feats (x | a1 | .. | a4) into the scratch
     offs = [0] + [cin + growth * j for j in range(n_convs - 1)]
@@ -255,7 +269,8 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
     # DMA input delivery needs the band slice and per-band stride to be
     # lane-tile (128) multiples — always true under the fold; unaligned
     # unfolded widths keep the round-2 grid-block delivery
-    dma_in = (band_rows * w) % 128 == 0 and (rows * w) % 128 == 0
+    dma_in = (DMA_IN_ENABLED and (band_rows * w) % 128 == 0
+              and (rows * w) % 128 == 0)
 
     kern = functools.partial(
         _kernel5_bwd, rows=rows, width=w, n_convs=n_convs, growth=growth,

@@ -77,6 +77,10 @@ def main():
     ap.add_argument("--gan_lr_d", type=float, default=1e-4)
     ap.add_argument("--gan_suffix", default="",
                     help="suffix for the GAN checkpoint/log dirs (ablations)")
+    ap.add_argument("--conv_impl", default="lax",
+                    choices=("lax", "pallas_cf"),
+                    help="generator conv path (pallas_cf = the fused "
+                         "kernel incl. folded training, BENCHNOTES r3)")
     args = ap.parse_args()
 
     import dataclasses
@@ -106,7 +110,8 @@ def main():
     cfg = preset("pretrain_psnr")
     cfg = dataclasses.replace(
         cfg,
-        generator=GeneratorConfig(n_blocks=args.blocks),
+        generator=GeneratorConfig(n_blocks=args.blocks,
+                                  conv_impl=args.conv_impl),
         data=DataConfig(dataset_dir=os.path.join(root, "train"),
                         hr_patch=192, batch_size=args.batch, n_workers=4),
         checkpoint_dir=os.path.join(root, "ck"),
@@ -136,7 +141,8 @@ def main():
 
         gan_cfg = dataclasses.replace(
             preset("train_gan"),
-            generator=GeneratorConfig(n_blocks=args.blocks),
+            generator=GeneratorConfig(n_blocks=args.blocks,
+                                  conv_impl=args.conv_impl),
             data=cfg.data,
             loss=LossConfig(perceptual_source="d_features",
                             lambda_percep=1.0,
