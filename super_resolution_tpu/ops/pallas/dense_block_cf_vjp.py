@@ -32,12 +32,19 @@ round-2 GAN it/s bench, BENCHNOTES.md).
 
 Band halos: the forward recomputes halo rows per band, so the gradient
 w.r.t. the input carries per-band contributions that overlap ±halo rows
-across band boundaries.  The kernel writes each band's *widened* input
-gradient disjointly, band-major after channels
-((B, C, n_bands, band_rows·W)); the wrapper overlap-adds the bands as
-n_chunks shifted-pad additions with a free final reshape (the round-2
-per-band dynamic_update_slice chain was 16.7% of the whole GAN step in
-the round-3 device trace).  Weight/bias gradients
+across band boundaries.  Under DMA delivery the kernel overlap-adds
+*in place* across the sequential band grid with a VMEM carry: band i
+adds band i-1's stashed halo tail to its head rows, DMAs its first
+``rows`` rows — now final — to the (disjoint) output chunk, and stashes
+its own tail for band i+1 (the last band flushes tail and chunk in one
+DMA).  The wrapper's only post-processing is a static halo slice.  This
+replaced two successive wrapper overlap-adds: the round-2 per-band
+dynamic_update_slice chain (16.7% of the GAN step in the round-3 device
+trace) and the round-3 vectorized shifted-pad form, whose 5-D
+pad+chunk-reshape consumer MISCOMPILES on real TPU in the full
+train-step graph (NaN/garbage dx rows; every pad-based reformulation
+failed identically while the sequential DUS chain was clean —
+BENCHNOTES round 3).  Weight/bias gradients
 accumulate across the sequential TPU grid into constant-index output
 blocks (zeroed on the first grid step — the standard Pallas accumulation
 pattern).  The backward bands independently of the forward (it
@@ -108,7 +115,8 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
                 n_srcs * nb + 1 + n_convs + 1 + 2 * n_convs]
     o_dx, o_dws, o_dbs = outs[0], outs[1:1 + n_convs], outs[1 + n_convs:]
     if dma_in:
-        feat_ref, dfeat_ref, dz_ref, in_sems, dx_sem = refs[-5:]
+        (feat_ref, dfeat_ref, dz_ref, carry_ref,
+         in_sems, dx_sem) = refs[-6:]
     else:
         feat_ref, dfeat_ref, dz_ref = refs[-3:]
 
@@ -122,6 +130,12 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
     def _init():
         for r in list(o_dws) + list(o_dbs):
             r[:] = jnp.zeros_like(r)
+
+    if dma_in:
+        # fresh image: no halo tail carried in from a previous band
+        @pl.when(pl.program_id(1) == 0)
+        def _zero_carry():
+            carry_ref[:] = jnp.zeros_like(carry_ref)
 
     if DEBUG_INIT_SCRATCH:
         feat_ref[:] = jnp.zeros_like(feat_ref)
@@ -224,17 +238,47 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
                 dfeat_ref[0:c_in_k, lanes_dy] + dpart
 
     if dma_in:
-        # widened input-grad band → HBM, also by DMA (a grid-block
-        # output would double-buffer another 3.5 MB of VMEM at the
-        # folded geometry)
-        dx_cp = pltpu.make_async_copy(
-            dfeat_ref.at[pl.ds(0, cin), :],
-            o_dx.at[b_idx, :,
-                    pl.ds(pl.program_id(1) * (band_rows * width),
-                          band_rows * width)],
-            dx_sem)
-        dx_cp.start()
-        dx_cp.wait()
+        # In-kernel overlap-add via the carry: rows [0, 2·halo) of this
+        # band coincide with rows [rows, band_rows) of the previous one
+        # (bands advance by `rows`), so adding the stashed tail makes
+        # this band's first `rows` rows FINAL.  The tail — which already
+        # includes contributions carried from up to ⌈halo/rows⌉ earlier
+        # bands, transitively — becomes the next carry.  Outputs are
+        # disjoint chunks → HBM by DMA (a grid-block output would
+        # double-buffer another 3.5 MB of VMEM at the folded geometry).
+        head = 2 * halo * width
+        dfeat_ref[0:cin, 0:head] = (dfeat_ref[0:cin, 0:head]
+                                    + carry_ref[:].astype(jnp.float32))
+        # the carry lives at x.dtype: an fp32 carry blew scoped VMEM by
+        # 357 KB at the folded training geometry, and the kernel's dacc
+        # matmul operands are x.dtype already, so this adds no new
+        # precision floor
+        carry_ref[:] = dfeat_ref[0:cin,
+                                 rows * width:band_rows * width].astype(
+                                     carry_ref.dtype)
+        is_last = pl.program_id(1) == pl.num_programs(1) - 1
+
+        @pl.when(jnp.logical_not(is_last))
+        def _write_chunk():
+            cp = pltpu.make_async_copy(
+                dfeat_ref.at[pl.ds(0, cin), pl.ds(0, rows * width)],
+                o_dx.at[b_idx, :,
+                        pl.ds(pl.program_id(1) * (rows * width),
+                              rows * width)],
+                dx_sem)
+            cp.start()
+            cp.wait()
+
+        @pl.when(is_last)
+        def _write_chunk_and_tail():
+            cp = pltpu.make_async_copy(
+                dfeat_ref.at[pl.ds(0, cin), :],
+                o_dx.at[b_idx, :,
+                        pl.ds(pl.program_id(1) * (rows * width),
+                              band_rows * width)],
+                dx_sem)
+            cp.start()
+            cp.wait()
     else:
         o_dx[:] = dfeat_ref[0:cin, 0:band_rows * width][None]
 
@@ -284,8 +328,12 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
         call_srcs = list(srcs)
         dx_spec = pl.BlockSpec(memory_space=pltpu.HBM)
         feat_lanes = band_rows * w
-        sem_scratch = [pltpu.SemaphoreType.DMA((n_convs,)),
-                       pltpu.SemaphoreType.DMA(())]
+        dx_lanes = (h + 2 * halo) * w          # in-kernel overlap-add
+        sem_scratch = [
+            pltpu.VMEM((cin, 2 * halo * w), x.dtype),       # carry
+            pltpu.SemaphoreType.DMA((n_convs,)),
+            pltpu.SemaphoreType.DMA(()),
+        ]
     else:
         def in_block(chans, off):
             return pl.BlockSpec((1, chans, rows * w),
@@ -301,6 +349,7 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
                                lambda b, i: (b, 0, i),
                                memory_space=pltpu.VMEM)
         feat_lanes = n_in_blocks * rows * w
+        dx_lanes = n_bands * band_rows * w     # widened disjoint bands
         sem_scratch = []
     in_specs.append(pl.BlockSpec((1, filters, rows * w),
                                  lambda b, i: (b, 0, i),
@@ -308,7 +357,7 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_convs
 
     out_shapes = [jax.ShapeDtypeStruct(
-        (batch, cin, n_bands * band_rows * w), jnp.float32)]
+        (batch, cin, dx_lanes), jnp.float32)]
     out_specs = [dx_spec]
     for k in range(n_convs):
         cout = filters if k == n_convs - 1 else growth
@@ -343,28 +392,25 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
     dw9s = res[1:1 + n_convs]
     dbs = [b[0] for b in res[1 + n_convs:]]
 
-    # overlap-add the widened per-band input gradients (halo rows of
-    # neighboring bands both contribute to the same input rows).  Bands
-    # live band-major after cin ((B, C, n_bands, band_rows·w)), so
-    # splitting each band into rows-sized chunks makes chunk j of band i
-    # land at row-block i + j of the output — the overlap-add collapses
-    # to n_chunks shifted-pad adds and a FREE final reshape.  (The
-    # previous per-band dynamic_update_slice chain was 16.7% of the
-    # whole GAN step in the device trace — BENCHNOTES round 3.)
-    n_chunks = -(-band_rows // rows)
-    h_pad = (n_bands + n_chunks - 1) * rows
-    dxw = dxw.reshape(batch, cin, n_bands, band_rows, w)
-    dxw = jnp.pad(dxw, ((0, 0), (0, 0), (0, 0),
-                        (0, n_chunks * rows - band_rows), (0, 0)))
-    chunks = dxw.reshape(batch, cin, n_bands, n_chunks, rows, w)
-    acc = None
-    for j in range(n_chunks):
-        term = jnp.pad(chunks[:, :, :, j],
-                       ((0, 0), (0, 0),
-                        (j, n_chunks - 1 - j), (0, 0), (0, 0)))
-        acc = term if acc is None else acc + term
-    dx_pad = acc.reshape(batch, cin, h_pad, w)
-    dx = dx_pad[:, :, halo:halo + h].astype(x.dtype)
+    if dma_in:
+        # the kernel already overlap-added across bands via the carry;
+        # all that remains is dropping the halo rows
+        dx_pad = dxw.reshape(batch, cin, h + 2 * halo, w)
+        dx = dx_pad[:, :, halo:halo + h].astype(x.dtype)
+    else:
+        # block mode (interpret / debug): widened disjoint bands —
+        # overlap-add with a sequential per-band dynamic_update_slice
+        # chain.  NOT the vectorized shifted-pad form: its 5-D
+        # pad+chunk-reshape consumer miscompiles on real TPU in the
+        # full train-step graph (NaN dx rows — BENCHNOTES round 3).
+        dxw = dxw.reshape(batch, cin, n_bands, band_rows, w)
+        dx_pad = jnp.zeros((batch, cin, h + 2 * halo, w), jnp.float32)
+        for i in range(n_bands):
+            seg = jax.lax.dynamic_slice_in_dim(dx_pad, i * rows,
+                                               band_rows, axis=2)
+            dx_pad = jax.lax.dynamic_update_slice_in_dim(
+                dx_pad, seg + dxw[:, :, i], i * rows, axis=2)
+        dx = dx_pad[:, :, halo:halo + h].astype(x.dtype)
     dws = [unpack_weight_grad(d) for d in dw9s]
     return dx, dws, dbs
 
