@@ -413,6 +413,53 @@ def test_dense_block_cf_kernel_bwd_aligned_width():
                                    atol=5e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("h", [8, 24])
+def test_dense_block_cf_kernel_bwd_carry_band_counts(h):
+    """The backward's in-kernel carry overlap-add across the band grid
+    (round-3 fix for the on-chip overlap-add miscompile) at the edge
+    band counts: n_bands=1 (the single band is first AND last — zero
+    carry in, chunk+tail flushed in one DMA) and n_bands=3 (a 2·halo
+    tail spans more than one future band, exercising the transitive
+    carry).  Aligned W=128 keeps the DMA/carry path selected."""
+    from super_resolution_tpu.ops.pallas.dense_block_cf_vjp import (
+        dense_block_cf_train,
+    )
+
+    nf, gc, rows = 8, 4, 8
+    ws, bs = [], []
+    cin = nf
+    for k in range(5):
+        cout = nf if k == 4 else gc
+        ws.append(jax.random.normal(jax.random.key(170 + k),
+                                    (3, 3, cin, cout), jnp.float32) * 0.1)
+        bs.append(jax.random.normal(jax.random.key(180 + k), (cout,),
+                                    jnp.float32) * 0.1)
+        cin += gc
+    x = jax.random.normal(jax.random.key(19), (2, nf, h, 128),
+                          jnp.float32)
+    tgt = jax.random.normal(jax.random.key(20), x.shape, jnp.float32)
+
+    def loss_ref(x, ws, bs):
+        y = _ref_dense_block(jnp.transpose(x, (0, 2, 3, 1)), ws, bs)
+        return jnp.sum((jnp.transpose(y, (0, 3, 1, 2)) - tgt) ** 2)
+
+    def loss_ker(x, ws, bs):
+        return jnp.sum((dense_block_cf_train(x, ws, bs, rows, 0.2, 0.2)
+                        - tgt) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, ws, bs)
+    with pltpu.force_tpu_interpret_mode():
+        gk = jax.grad(loss_ker, argnums=(0, 1, 2))(x, ws, bs)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                               atol=2e-4, rtol=1e-4)
+    for a, b in zip(gk[1], gr[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
+    for a, b in zip(gk[2], gr[2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
+
+
 def test_training_through_pallas_cf_kernel():
     """conv_impl='pallas_cf' trains THROUGH the fused kernel (custom
     VJP) on a single chip when the LR width is lane-aligned: one
