@@ -168,6 +168,11 @@ class DenseBlock(nn.Module):
     # per-image width when the trunk is batch-to-lane folded (RRDBNet
     # fold logic); None = unfolded input
     img_w: Any = None
+    # flat padded chaining (RRDBNet trunk): x arrives as
+    # (B, C, (h+2·halo)·W) with zero pad rows, h = flat_h — the fused
+    # kernel reads/writes that layout directly, so chained blocks skip
+    # the per-block pad/reshape (fwd AND bwd); None = (B, C, H, W)
+    flat_h: Any = None
 
     def _declare_params(self, cin):
         """Declare the 5 conv param pairs (identical tree to the per-conv
@@ -189,6 +194,20 @@ class DenseBlock(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         c_total = x.shape[1] + (cfg.n_dense_convs - 1) * cfg.growth
+        if self.flat_h is not None:
+            # flat chained trunk: the RRDBNet caller already verified
+            # the kernel path + alignment for this geometry
+            from super_resolution_tpu.ops.pallas.dense_block_cf_vjp \
+                import dense_block_cf_train
+
+            h = self.flat_h
+            w = x.shape[2] // (h + 2 * cfg.n_dense_convs)
+            rows_cf = _pick_rows(h, w, c_total=c_total)
+            assert rows_cf is not None, (h, w)
+            ws, bs = self._declare_params(x.shape[1])
+            return dense_block_cf_train(
+                x.astype(self.dtype), ws, bs, rows_cf,
+                cfg.res_scale, cfg.lrelu_slope, self.img_w, h)
         rows_cf = _pick_rows(x.shape[2], x.shape[3], c_total=c_total) \
             if cfg.conv_impl in ("pallas_cf", "pallas_cf_tail") else None
         if rows_cf is not None:
@@ -248,13 +267,16 @@ class RRDB(nn.Module):
     cfg: GeneratorConfig
     dtype: Any = jnp.float32
     img_w: Any = None
+    flat_h: Any = None
 
     @nn.compact
     def __call__(self, x):
         out = x
         for k in range(self.cfg.n_dense):
             out = DenseBlock(self.cfg, self.dtype, self.img_w,
-                             name=f"dense{k + 1}")(out)
+                             self.flat_h, name=f"dense{k + 1}")(out)
+        # elementwise residual — layout-agnostic, and under flat
+        # chaining both operands have zero pad rows, so the sum does too
         return x + self.cfg.res_scale * out
 
 
@@ -320,8 +342,42 @@ class RRDBNet(nn.Module):
                     .transpose(0, 2, 3, 1, 4) \
                     .reshape(b_ // g, c_, h_, g * w_)
                 img_w = w_
+        # flat padded chaining: when every block will take the fused
+        # kernel at a lane-aligned width (W % 128 == 0 — always true
+        # folded), pad the trunk with the blocks' halo ONCE and chain
+        # the 3·n_blocks dense blocks in the flat (B, C, (h+2·halo)·W)
+        # layout — no per-block pad/reshape in the forward OR backward
+        # (the round-3 device trace priced those at ~3 ms/step of pure
+        # copy traffic at b16·192²).
+        flat_h = None
+        if cf:
+            from super_resolution_tpu.ops.pallas.dense_block_cf import (
+                flat_io_ok,
+            )
+            from super_resolution_tpu.ops.pallas.dense_block_cf_vjp \
+                import _bwd_rows
+
+            bt, ct, ht, wt = trunk.shape
+            c_total = cfg.filters + (cfg.n_dense_convs - 1) * cfg.growth
+            halo = cfg.n_dense_convs
+            rows_cf = _pick_rows(ht, wt, c_total=c_total)
+            if (rows_cf is not None
+                    and flat_io_ok(ht, wt, rows_cf, halo)
+                    and flat_io_ok(ht, wt, _bwd_rows(ht, wt, rows_cf),
+                                   halo)):
+                flat_h = ht
+                trunk = jnp.pad(
+                    trunk, ((0, 0), (0, 0), (halo, halo), (0, 0))) \
+                    .reshape(bt, ct, -1)
         for b in range(cfg.n_blocks):
-            trunk = RRDB(cfg, self.dtype, img_w, name=f"block{b}")(trunk)
+            trunk = RRDB(cfg, self.dtype, img_w, flat_h,
+                         name=f"block{b}")(trunk)
+        if flat_h is not None:
+            bt, ct, _ = trunk.shape
+            halo = cfg.n_dense_convs
+            hp = flat_h + 2 * halo
+            wt = trunk.shape[2] // hp
+            trunk = trunk.reshape(bt, ct, hp, wt)[:, :, halo:halo + flat_h]
         if img_w is not None:
             b_, c_, h_, w_ = fea.shape
             g = trunk.shape[3] // w_

@@ -83,7 +83,7 @@ def pack_weights_cf(w_hwio: jnp.ndarray) -> jnp.ndarray:
 
 def _kernel5(*refs, rows, width, n_convs, growth, filters,
              res_scale, slope, h_img, n_in_blocks, cin, save_acts=False,
-             img_w=None):
+             img_w=None, flat_io=False):
     # ``width`` is the LANE width of a row; ``img_w`` the per-image width.
     # They differ under batch-to-lane folding (g images side by side in
     # lanes so g·img_w % 128 == 0 → every dy-window slice below is
@@ -106,7 +106,9 @@ def _kernel5(*refs, rows, width, n_convs, growth, filters,
     act_refs = refs[nb + 2 * n_convs + 1:
                     nb + 2 * n_convs + n_convs] if save_acts \
         else ()
-    if dma_in:
+    if flat_io:
+        feat_ref, in_sem, out_sems = refs[-3:]
+    elif dma_in:
         feat_ref, in_sem = refs[-2:]
     else:
         feat_ref = refs[-1]
@@ -176,25 +178,108 @@ def _kernel5(*refs, rows, width, n_convs, growth, filters,
                                 halo * width:(halo + rows) * width]
             y = x_center.astype(jnp.float32) + res_scale * \
                 out.astype(jnp.float32)
-            o_ref[:] = y[None].astype(o_ref.dtype)
+            if flat_io:
+                # park y in the (fully consumed) x slab's central rows;
+                # the flat-output DMAs below read it from there
+                feat_ref[0:cin, halo * width:(halo + rows) * width] = \
+                    y.astype(feat_ref.dtype)
+            else:
+                o_ref[:] = y[None].astype(o_ref.dtype)
         else:
             feat_ref[coff:coff + cout,
                      (k + 1) * width:(k + 1 + out_rows) * width] = out
-            if save_acts:
+            if save_acts and not flat_io:
                 c0 = (halo - (k + 1)) * width
                 act_refs[k][:] = out[:, c0:c0 + rows * width][None]
             coff += cout
 
+    if flat_io:
+        # Flat padded chaining (round 3): outputs live as
+        # (B, C, (h+2·halo)·W) with image row 0 at lane halo·W — the
+        # SAME layout every wrapper builds with jnp.pad before banding,
+        # so consecutive dense blocks (and the Mosaic backward's
+        # sources) exchange buffers with ZERO XLA pad/reshape traffic.
+        # Every output's central band rows already sit at lanes
+        # [halo·W, (halo+rows)·W) of its feat_ref slab (y parked in the
+        # x slab; act k accumulated at window offset (k+1)·W with its
+        # central rows at absolute lane halo·W), so each band is one
+        # aligned DMA; the first/last bands zero the halo pad rows and
+        # widen their DMA to cover them.
+        is_first = pl.program_id(1) == 0
+        is_last = pl.program_id(1) == pl.num_programs(1) - 1
+        b_idx = pl.program_id(0)
+        head = halo * width
+        outs = [(o_ref, 0, cin)]
+        if save_acts:
+            c_act = cin
+            for _k in range(n_convs - 1):
+                outs.append((act_refs[_k], c_act, growth))
+                c_act += growth
+
+        @pl.when(is_first)
+        def _zero_top_pad():
+            for _, c0, cs in outs:
+                feat_ref[c0:c0 + cs, 0:head] = jnp.zeros(
+                    (cs, head), feat_ref.dtype)
+
+        @pl.when(is_last)
+        def _zero_bottom_pad():
+            for _, c0, cs in outs:
+                feat_ref[c0:c0 + cs, (halo + rows) * width:
+                         (2 * halo + rows) * width] = jnp.zeros(
+                    (cs, head), feat_ref.dtype)
+
+        def _emit(src0, size, dst):
+            copies = []
+            for j, (ref, c0, cs) in enumerate(outs):
+                cp = pltpu.make_async_copy(
+                    feat_ref.at[pl.ds(c0, cs), pl.ds(src0, size)],
+                    ref.at[b_idx, :, pl.ds(dst, size)],
+                    out_sems.at[j])
+                cp.start()
+                copies.append(cp)
+            for cp in copies:
+                cp.wait()
+
+        row0_dst = (halo + pl.program_id(1) * rows) * width
+
+        @pl.when(jnp.logical_and(is_first, is_last))
+        def _w_single():
+            _emit(0, (2 * halo + rows) * width, 0)
+
+        @pl.when(jnp.logical_and(is_first, jnp.logical_not(is_last)))
+        def _w_first():
+            _emit(0, (halo + rows) * width, 0)
+
+        @pl.when(jnp.logical_and(is_last, jnp.logical_not(is_first)))
+        def _w_last():
+            _emit(halo * width, (halo + rows) * width, row0_dst)
+
+        @pl.when(jnp.logical_and(jnp.logical_not(is_first),
+                                 jnp.logical_not(is_last)))
+        def _w_mid():
+            _emit(halo * width, rows * width, row0_dst)
+
+
+def flat_io_ok(h: int, w: int, rows: int, n_convs: int = 5) -> bool:
+    """Whether the flat padded-chain layout is usable: DMA delivery
+    alignment plus a lane-aligned halo offset ((halo·W) % 128 == 0 ⟺
+    W % 128 == 0 since halo = 5 is coprime to 128)."""
+    band_rows = rows + 2 * n_convs
+    return ((band_rows * w) % 128 == 0 and (rows * w) % 128 == 0
+            and (n_convs * w) % 128 == 0)
+
 
 @functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope",
                                              "save_acts", "interpret",
-                                             "img_w"))
+                                             "img_w", "flat_h"))
 def fused_dense_block_cf5(x: jnp.ndarray,
                           weights: Sequence[jnp.ndarray],
                           biases: Sequence[jnp.ndarray],
                           *, rows: int = 32, res_scale: float = 0.2,
                           slope: float = 0.2, save_acts: bool = False,
-                          interpret: bool = False, img_w: int | None = None):
+                          interpret: bool = False, img_w: int | None = None,
+                          flat_h: int | None = None):
     """dy-in-K / dx-in-M fused dense block over (B, C, H, W)
     channels-first input.  With ``save_acts`` also returns the
     intermediate activations (custom-VJP residuals).
@@ -203,19 +288,39 @@ def fused_dense_block_cf5(x: jnp.ndarray,
     side-by-side into the lane axis (W = g·img_w, chosen so W % 128 == 0
     at unaligned per-image widths — see models/rrdb.py fold logic); the
     dx edge masks then apply per image.  None = no fold (masks at the
-    row width)."""
-    batch, cin, h, w = x.shape
+    row width).
+
+    ``flat_h``: flat padded chaining — x is (B, C, (h+2·halo)·W) with
+    image row 0 at lane halo·W and ZERO pad rows, h = flat_h; the output
+    (and acts) come back in the SAME layout with zeroed pads, so chained
+    blocks skip the per-block jnp.pad/reshape entirely (round-3 trace:
+    ~3 ms/step of pure pad/copy traffic at b16·192²).  Requires
+    :func:`flat_io_ok`; elementwise residual adds between blocks keep
+    the pad rows zero."""
     n_convs = len(weights)
     growth = weights[0].shape[-1]
     filters = weights[-1].shape[-1]
+    halo = n_convs
+    flat_io = flat_h is not None
+    if flat_io:
+        batch, cin, hpw = x.shape
+        h = flat_h
+        w = hpw // (h + 2 * halo)
+        assert hpw == (h + 2 * halo) * w, (x.shape, flat_h)
+        assert flat_io_ok(h, w, rows, n_convs), (h, w, rows)
+        assert filters == cin, (filters, cin)
+    else:
+        batch, cin, h, w = x.shape
     assert h % rows == 0 and rows >= 5, (h, rows)
     n_bands = h // rows
-    halo = n_convs
     n_in_blocks = -(-(rows + 2 * halo) // rows)
 
-    pad_bottom = (n_bands + n_in_blocks - 1) * rows - h - halo
-    x_flat = jnp.pad(x, ((0, 0), (0, 0), (halo, pad_bottom), (0, 0))) \
-        .reshape(batch, cin, -1)
+    if flat_io:
+        x_flat = x
+    else:
+        pad_bottom = (n_bands + n_in_blocks - 1) * rows - h - halo
+        x_flat = jnp.pad(x, ((0, 0), (0, 0), (halo, pad_bottom), (0, 0))) \
+            .reshape(batch, cin, -1)
 
     wps = [pack_weights_cf(wk).astype(x.dtype) for wk in weights]
     b2 = [bk.reshape(1, -1).astype(jnp.float32) for bk in biases]
@@ -226,12 +331,13 @@ def fused_dense_block_cf5(x: jnp.ndarray,
     # A/B) — block delivery is always correct, just costs more VMEM
     dma_in = (DMA_IN_ENABLED and (band_rows * w) % 128 == 0
               and (rows * w) % 128 == 0)
+    assert dma_in or not flat_io, (rows, w)
 
     kern = functools.partial(
         _kernel5, rows=rows, width=w, n_convs=n_convs,
         growth=growth, filters=filters, res_scale=res_scale, slope=slope,
         h_img=h, n_in_blocks=0 if dma_in else n_in_blocks, cin=cin,
-        save_acts=save_acts, img_w=img_w)
+        save_acts=save_acts, img_w=img_w, flat_io=flat_io)
 
     in_block = lambda off: pl.BlockSpec(                      # noqa: E731
         (1, cin, rows * w), lambda b, i, o=off: (b, 0, i + o),
@@ -240,15 +346,22 @@ def fused_dense_block_cf5(x: jnp.ndarray,
     flops = 2 * batch * h * w * sum(9 * wk.shape[2] * wk.shape[3]
                                     for wk in weights)
     c_total = cin + (n_convs - 1) * growth
-    out_shape = jax.ShapeDtypeStruct((batch, filters, h * w), x.dtype)
-    out_spec = pl.BlockSpec((1, filters, rows * w), lambda b, i: (b, 0, i),
-                            memory_space=pltpu.VMEM)
-    out_shapes, out_specs = out_shape, out_spec
-    if save_acts:
-        act_shape = jax.ShapeDtypeStruct((batch, growth, h * w), x.dtype)
+    out_lanes = (h + 2 * halo) * w if flat_io else h * w
+    out_shape = jax.ShapeDtypeStruct((batch, filters, out_lanes), x.dtype)
+    if flat_io:
+        out_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+        act_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    else:
+        out_spec = pl.BlockSpec((1, filters, rows * w),
+                                lambda b, i: (b, 0, i),
+                                memory_space=pltpu.VMEM)
         act_spec = pl.BlockSpec((1, growth, rows * w),
                                 lambda b, i: (b, 0, i),
                                 memory_space=pltpu.VMEM)
+    out_shapes, out_specs = out_shape, out_spec
+    if save_acts:
+        act_shape = jax.ShapeDtypeStruct((batch, growth, out_lanes),
+                                         x.dtype)
         out_shapes = [out_shape] + [act_shape] * (n_convs - 1)
         out_specs = [out_spec] + [act_spec] * (n_convs - 1)
     if dma_in:
@@ -256,6 +369,9 @@ def fused_dense_block_cf5(x: jnp.ndarray,
         call_ins = [x_flat]
         feat_lanes = band_rows * w
         sem_scratch = [pltpu.SemaphoreType.DMA(())]
+        if flat_io:
+            n_outs = n_convs if save_acts else 1
+            sem_scratch.append(pltpu.SemaphoreType.DMA((n_outs,)))
     else:
         in_specs = [in_block(o) for o in range(n_in_blocks)]
         call_ins = [x_flat] * n_in_blocks
@@ -274,6 +390,10 @@ def fused_dense_block_cf5(x: jnp.ndarray,
             flops=flops, bytes_accessed=x.size * 4, transcendentals=0),
         interpret=interpret,
     )(*call_ins, *wps, *b2)
+    if flat_io:
+        if save_acts:
+            return res[0], list(res[1:])
+        return res
     unflat = lambda a: a.reshape(batch, a.shape[1], h, w)     # noqa: E731
     if save_acts:
         return unflat(res[0]), [unflat(a) for a in res[1:]]

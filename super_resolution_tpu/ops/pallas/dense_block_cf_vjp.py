@@ -88,7 +88,7 @@ def unpack_weight_grad(dw9: jnp.ndarray) -> jnp.ndarray:
 
 def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
                  res_scale, slope, h_img, cin, img_w=None,
-                 n_in_blocks=0):
+                 n_in_blocks=0, flat_io=False):
     # width = lane width of a row; img_w = per-image width under
     # batch-to-lane folding (dense_block_cf._kernel5 docstring) — the dx
     # edge masks apply per image, all dy-window offsets j·width become
@@ -114,7 +114,10 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
     outs = refs[n_srcs * nb + 1 + n_convs:
                 n_srcs * nb + 1 + n_convs + 1 + 2 * n_convs]
     o_dx, o_dws, o_dbs = outs[0], outs[1:1 + n_convs], outs[1 + n_convs:]
-    if dma_in:
+    if flat_io:
+        (feat_ref, dfeat_ref, dz_ref, carry_ref, g_buf,
+         in_sems, dx_sem, g_sem) = refs[-8:]
+    elif dma_in:
         (feat_ref, dfeat_ref, dz_ref, carry_ref,
          in_sems, dx_sem) = refs[-6:]
     else:
@@ -155,6 +158,17 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
                 in_sems.at[j])
             cp.start()
             copies.append(cp)
+        if flat_io:
+            # the cotangent arrives flat-padded too (it IS the next
+            # block's flat dx); read only this band's central rows —
+            # its pad rows are cotangents of constant-zero pad rows
+            g_cp = pltpu.make_async_copy(
+                g_ref.at[b_idx, :,
+                         pl.ds((halo + pl.program_id(1) * rows) * width,
+                               rows * width)],
+                g_buf, g_sem)
+            g_cp.start()
+            copies.append(g_cp)
         for cp in copies:
             cp.wait()
     else:
@@ -168,10 +182,11 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
                 feat_ref[c0:c0 + cs,
                          b_i * rows * width:(b_i + 1) * rows * width] = b[0]
 
+    g_band = g_buf[:] if flat_io else g_ref[0]
     dfeat_ref[:] = jnp.zeros_like(dfeat_ref)
     # residual identity: dx central += g
     dfeat_ref[0:cin, halo * width:(halo + rows) * width] = \
-        g_ref[0].astype(jnp.float32)
+        g_band.astype(jnp.float32)
 
     m_max = (rows + 2 * (halo - 1)) * width
     lane_max = jax.lax.broadcasted_iota(jnp.int32, (1, m_max), 1)
@@ -187,7 +202,7 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
         col = col_max[:, :m_out]
 
         if last:
-            dout = g_ref[0].astype(jnp.float32) * res_scale  # (F, rows·W)
+            dout = g_band.astype(jnp.float32) * res_scale    # (F, rows·W)
         else:
             sl = slice(cin + growth * k, cin + growth * (k + 1))
             lanes = slice((k + 1) * width, (k + 1) * width + m_out)
@@ -284,30 +299,48 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope",
-                                             "interpret", "img_w"))
+                                             "interpret", "img_w",
+                                             "flat_h"))
 def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
                               res_scale: float, slope: float,
                               interpret: bool = False,
-                              img_w: int | None = None):
+                              img_w: int | None = None,
+                              flat_h: int | None = None):
     """Backward of :func:`fused_dense_block_cf5`: returns
-    ``(dx, [dW_k HWIO], [db_k])`` given the saved activations."""
-    batch, cin, h, w = x.shape
+    ``(dx, [dW_k HWIO], [db_k])`` given the saved activations.
+
+    ``flat_h``: flat padded chaining (see the forward) — x/acts/g arrive
+    as (B, C, (h+2·halo)·W) and dx is returned in the same layout (the
+    carry output already IS that layout; its pad rows carry adjoint
+    spill values that every consumer ignores)."""
     n_convs = len(weights)
     growth = weights[0].shape[-1]
     filters = weights[-1].shape[-1]
+    halo = n_convs
+    flat_io = flat_h is not None
+    if flat_io:
+        batch, cin, hpw = x.shape
+        h = flat_h
+        w = hpw // (h + 2 * halo)
+        assert hpw == (h + 2 * halo) * w, (x.shape, flat_h)
+    else:
+        batch, cin, h, w = x.shape
     assert h % rows == 0, (h, rows)
     n_bands = h // rows
-    halo = n_convs
     n_in_blocks = -(-(rows + 2 * halo) // rows)
     band_rows = rows + 2 * halo
     c_total = cin + (n_convs - 1) * growth
 
-    pad_bottom = (n_bands + n_in_blocks - 1) * rows - h - halo
-    flat = lambda a: jnp.pad(                                 # noqa: E731
-        a, ((0, 0), (0, 0), (halo, pad_bottom), (0, 0))).reshape(
-        a.shape[0], a.shape[1], -1)
-    srcs = [flat(x)] + [flat(a) for a in acts]
-    g_flat = g.reshape(batch, filters, h * w)
+    if flat_io:
+        srcs = [x] + list(acts)
+        g_flat = g
+    else:
+        pad_bottom = (n_bands + n_in_blocks - 1) * rows - h - halo
+        flat = lambda a: jnp.pad(                             # noqa: E731
+            a, ((0, 0), (0, 0), (halo, pad_bottom), (0, 0))).reshape(
+            a.shape[0], a.shape[1], -1)
+        srcs = [flat(x)] + [flat(a) for a in acts]
+        g_flat = g.reshape(batch, filters, h * w)
     wps = [pack_weights_cf(wk).astype(x.dtype) for wk in weights]
 
     # DMA input delivery needs the band slice and per-band stride to be
@@ -315,12 +348,13 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
     # unfolded widths keep the round-2 grid-block delivery
     dma_in = (DMA_IN_ENABLED and (band_rows * w) % 128 == 0
               and (rows * w) % 128 == 0)
+    assert dma_in or not flat_io, (rows, w)
 
     kern = functools.partial(
         _kernel5_bwd, rows=rows, width=w, n_convs=n_convs, growth=growth,
         filters=filters, res_scale=res_scale, slope=slope, h_img=h,
         cin=cin, img_w=img_w,
-        n_in_blocks=0 if dma_in else n_in_blocks)
+        n_in_blocks=0 if dma_in else n_in_blocks, flat_io=flat_io)
 
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
     if dma_in:
@@ -331,9 +365,16 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
         dx_lanes = (h + 2 * halo) * w          # in-kernel overlap-add
         sem_scratch = [
             pltpu.VMEM((cin, 2 * halo * w), x.dtype),       # carry
+        ]
+        if flat_io:
+            sem_scratch.append(
+                pltpu.VMEM((filters, rows * w), g.dtype))   # g band
+        sem_scratch += [
             pltpu.SemaphoreType.DMA((n_convs,)),
             pltpu.SemaphoreType.DMA(()),
         ]
+        if flat_io:
+            sem_scratch.append(pltpu.SemaphoreType.DMA(()))  # g sem
     else:
         def in_block(chans, off):
             return pl.BlockSpec((1, chans, rows * w),
@@ -351,9 +392,12 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
         feat_lanes = n_in_blocks * rows * w
         dx_lanes = n_bands * band_rows * w     # widened disjoint bands
         sem_scratch = []
-    in_specs.append(pl.BlockSpec((1, filters, rows * w),
-                                 lambda b, i: (b, 0, i),
-                                 memory_space=pltpu.VMEM))
+    if flat_io:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    else:
+        in_specs.append(pl.BlockSpec((1, filters, rows * w),
+                                     lambda b, i: (b, 0, i),
+                                     memory_space=pltpu.VMEM))
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_convs
 
     out_shapes = [jax.ShapeDtypeStruct(
@@ -392,7 +436,11 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
     dw9s = res[1:1 + n_convs]
     dbs = [b[0] for b in res[1 + n_convs:]]
 
-    if dma_in:
+    if flat_io:
+        # stay flat: the consumer (the previous block's bwd / the chain
+        # entry slice) ignores the pad rows' adjoint spill values
+        dx = dxw.astype(x.dtype)
+    elif dma_in:
         # the kernel already overlap-added across bands via the carry;
         # all that remains is dropping the halo rows
         dx_pad = dxw.reshape(batch, cin, h + 2 * halo, w)
@@ -434,9 +482,9 @@ def _bwd_rows(h: int, w: int, rows_fwd: int) -> int:
     return min(rows_fwd, 8)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def dense_block_cf_train(x, weights, biases, rows, res_scale, slope,
-                         img_w=None):
+                         img_w=None, flat_h=None):
     """Differentiable fused dense block: Pallas forward AND backward
     (both v5 geometry).  ``weights``/``biases`` are lists; grads flow to
     all three inputs.
@@ -451,6 +499,10 @@ def dense_block_cf_train(x, weights, biases, rows, res_scale, slope,
     128-aligned — the round-2 relayout tax at W=48 training patches was
     exactly these unaligned offsets; BENCHNOTES.md round 3).
 
+    ``flat_h``: flat padded chaining — x is (B, C, (h+2·halo)·W) with
+    zero pad rows and the output comes back in the same layout, so the
+    RRDB trunk chains blocks with no per-block pad/reshape (fwd OR bwd).
+
     Measured routing note (BENCHNOTES.md round 2, L2-cotangent fwd+bwd):
     the Mosaic backward wins 1.42× over lax autodiff at W % 128 == 0
     (73.9 vs 51.9 TF/s at 8×64×128²); at unaligned widths the fold
@@ -461,11 +513,12 @@ def dense_block_cf_train(x, weights, biases, rows, res_scale, slope,
     )
 
     fn = partitioned_dense_block(len(weights), rows, res_scale, slope,
-                                 img_w=img_w)
+                                 img_w=img_w, flat_h=flat_h)
     return fn(x, *weights, *biases)
 
 
-def _train_fwd(x, weights, biases, rows, res_scale, slope, img_w=None):
+def _train_fwd(x, weights, biases, rows, res_scale, slope, img_w=None,
+               flat_h=None):
     # batch-partitioned save-acts forward: under a batch-sharded DP jit
     # the kernel runs per shard (ops/pallas/partitioned.py)
     from super_resolution_tpu.ops.pallas.partitioned import (
@@ -473,13 +526,14 @@ def _train_fwd(x, weights, biases, rows, res_scale, slope, img_w=None):
     )
 
     res = partitioned_dense_block_fwd(len(weights), rows, res_scale,
-                                      slope, img_w=img_w)(
+                                      slope, img_w=img_w,
+                                      flat_h=flat_h)(
         x, *weights, *biases)
     y, acts = res[0], res[1:]
     return y, (x, tuple(weights), tuple(acts))
 
 
-def _train_bwd(rows, res_scale, slope, img_w, residuals, g):
+def _train_bwd(rows, res_scale, slope, img_w, flat_h, residuals, g):
     # batch-partitioned Mosaic backward: dx per shard, dW/db psum'd over
     # the mesh axis inside the partition — the DP gradient all-reduce
     from super_resolution_tpu.ops.pallas.partitioned import (
@@ -488,9 +542,14 @@ def _train_bwd(rows, res_scale, slope, img_w, residuals, g):
 
     x, weights, acts = residuals
     n = len(weights)
+    if flat_h is not None:
+        h = flat_h
+        w = x.shape[2] // (h + 2 * n)
+    else:
+        h, w = x.shape[2], x.shape[3]
     res = partitioned_dense_block_bwd(
-        n, _bwd_rows(x.shape[2], x.shape[3], rows), res_scale, slope,
-        img_w=img_w)(x, *acts, g, *weights)
+        n, _bwd_rows(h, w, rows), res_scale, slope,
+        img_w=img_w, flat_h=flat_h)(x, *acts, g, *weights)
     dx, dws, dbs = res[0], res[1:1 + n], res[1 + n:]
     # cotangent dtypes must match the primal inputs (weights may be bf16)
     dws = [d.astype(w.dtype) for d, w in zip(dws, weights)]

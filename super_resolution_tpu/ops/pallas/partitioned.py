@@ -47,41 +47,49 @@ def _batch_axis(shardings):
 @functools.lru_cache(maxsize=None)
 def partitioned_dense_block(n_convs: int, rows: int, res_scale: float,
                             slope: float, interpret: bool = False,
-                            img_w: int | None = None):
+                            img_w: int | None = None,
+                            flat_h: int | None = None):
     """A ``custom_partitioning``-wrapped v5 fused dense block for the
-    given static config.  Call as ``fn(x, *weights, *biases)``."""
+    given static config.  Call as ``fn(x, *weights, *biases)``.
+    With ``flat_h`` the activations are rank-3 flat padded buffers
+    (dense_block_cf.fused_dense_block_cf5 flat chaining) — the batch
+    axis stays leading, so the sharding logic is unchanged."""
+    nd = 2 if flat_h is not None else 3        # trailing act dims
 
     def impl(x, *wb):
         ws = list(wb[:n_convs])
         bs = list(wb[n_convs:])
         return fused_dense_block_cf5(x, ws, bs, rows=rows,
                                      res_scale=res_scale, slope=slope,
-                                     interpret=interpret, img_w=img_w)
+                                     interpret=interpret, img_w=img_w,
+                                     flat_h=flat_h)
 
     f = custom_partitioning(impl)
 
     def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
         b = _batch_axis([a.sharding for a in arg_shapes])
-        return NamedSharding(mesh, P(b, None, None, None))
+        return NamedSharding(mesh, P(b, *(None,) * nd))
 
     def partition(mesh, arg_shapes, result_shape):
         b = _batch_axis([a.sharding for a in arg_shapes])
-        x_sh = NamedSharding(mesh, P(b, None, None, None))
+        x_sh = NamedSharding(mesh, P(b, *(None,) * nd))
         rep = NamedSharding(mesh, P())
         arg_shardings = (x_sh,) + (rep,) * (len(arg_shapes) - 1)
-        out_sharding = NamedSharding(mesh, P(b, None, None, None))
+        out_sharding = NamedSharding(mesh, P(b, *(None,) * nd))
         return mesh, impl, out_sharding, arg_shardings
 
     # Shardy-style einsum rule: only the batch factor `b` is shared
     # between x and the result, so batch sharding propagates and nothing
     # else does (H/W sharding must not — the kernel's halo logic assumes
-    # whole rows; `partition` also forces x to P(b, None, None, None),
-    # so any stray spatial sharding is repartitioned away).  The legacy
+    # whole rows; `partition` also forces x to P(b, None, ...), so any
+    # stray spatial sharding is repartitioned away).  The legacy
     # GSPMD callbacks are kept for toolchains with Shardy disabled.
-    operands = ["b x0 x1 x2"]
+    xdims = " ".join(f"x{j}" for j in range(nd))
+    ydims = " ".join(f"y{j}" for j in range(nd))
+    operands = [f"b {xdims}"]
     operands += [f"w{k}0 w{k}1 w{k}2 w{k}3" for k in range(n_convs)]
     operands += [f"c{k}0" for k in range(n_convs)]
-    rule = ", ".join(operands) + " -> b y0 y1 y2"
+    rule = ", ".join(operands) + f" -> b {ydims}"
 
     f.def_partition(
         partition=partition,
@@ -93,10 +101,12 @@ def partitioned_dense_block(n_convs: int, rows: int, res_scale: float,
 @functools.lru_cache(maxsize=None)
 def partitioned_dense_block_fwd(n_convs: int, rows: int, res_scale: float,
                                 slope: float, interpret: bool = False,
-                                img_w: int | None = None):
+                                img_w: int | None = None,
+                                flat_h: int | None = None):
     """Save-acts forward (custom-VJP residual producer), batch-
     partitioned: call as ``fn(x, *weights, *biases)`` →
     ``(y, a1..a{n-1})``, all batch-sharded like x."""
+    nd = 2 if flat_h is not None else 3
 
     def impl(x, *wb):
         ws = list(wb[:n_convs])
@@ -104,28 +114,31 @@ def partitioned_dense_block_fwd(n_convs: int, rows: int, res_scale: float,
         y, acts = fused_dense_block_cf5(x, ws, bs, rows=rows,
                                         res_scale=res_scale, slope=slope,
                                         save_acts=True,
-                                        interpret=interpret, img_w=img_w)
+                                        interpret=interpret, img_w=img_w,
+                                        flat_h=flat_h)
         return (y, *acts)
 
     f = custom_partitioning(impl)
 
     def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
         b = _batch_axis([a.sharding for a in arg_shapes])
-        out = NamedSharding(mesh, P(b, None, None, None))
+        out = NamedSharding(mesh, P(b, *(None,) * nd))
         return (out,) * n_convs
 
     def partition(mesh, arg_shapes, result_shape):
         b = _batch_axis([a.sharding for a in arg_shapes])
-        xs = NamedSharding(mesh, P(b, None, None, None))
+        xs = NamedSharding(mesh, P(b, *(None,) * nd))
         rep = NamedSharding(mesh, P())
         return (mesh, impl, (xs,) * n_convs,
                 (xs,) + (rep,) * (len(arg_shapes) - 1))
 
-    operands = ["b x0 x1 x2"]
+    xdims = " ".join(f"x{j}" for j in range(nd))
+    operands = [f"b {xdims}"]
     operands += [f"w{k}0 w{k}1 w{k}2 w{k}3" for k in range(n_convs)]
     operands += [f"c{k}0" for k in range(n_convs)]
-    results = ["b y0 y1 y2"] + [f"b a{k}1 a{k}2 a{k}3"
-                                for k in range(n_convs - 1)]
+    results = ["b " + " ".join(f"y{j}" for j in range(nd))]
+    results += ["b " + " ".join(f"a{k}{j}" for j in range(nd))
+                for k in range(n_convs - 1)]
     f.def_partition(
         partition=partition,
         infer_sharding_from_operands=infer_sharding_from_operands,
@@ -136,7 +149,8 @@ def partitioned_dense_block_fwd(n_convs: int, rows: int, res_scale: float,
 @functools.lru_cache(maxsize=None)
 def partitioned_dense_block_bwd(n_convs: int, rows: int, res_scale: float,
                                 slope: float, interpret: bool = False,
-                                img_w: int | None = None):
+                                img_w: int | None = None,
+                                flat_h: int | None = None):
     """Batch-partitioned Mosaic backward: call as
     ``fn(x, *acts, g, *weights)`` → ``(dx, dW_1..dW_n, db_1..db_n)``.
     dx comes back batch-sharded; the weight/bias grads are psum'd over
@@ -145,6 +159,7 @@ def partitioned_dense_block_bwd(n_convs: int, rows: int, res_scale: float,
         fused_dense_block_cf5_bwd,
     )
 
+    nd = 2 if flat_h is not None else 3
     n_arr = 1 + (n_convs - 1) + 1            # x, acts, g (batch-sharded)
 
     def local(x, *rest):
@@ -153,7 +168,7 @@ def partitioned_dense_block_bwd(n_convs: int, rows: int, res_scale: float,
         ws = list(rest[n_convs:])
         dx, dws, dbs = fused_dense_block_cf5_bwd(
             x, acts, ws, g, rows=rows, res_scale=res_scale, slope=slope,
-            interpret=interpret, img_w=img_w)
+            interpret=interpret, img_w=img_w, flat_h=flat_h)
         return (dx, *dws, *dbs)
 
     f = custom_partitioning(local)
@@ -161,12 +176,12 @@ def partitioned_dense_block_bwd(n_convs: int, rows: int, res_scale: float,
     def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
         b = _batch_axis([a.sharding for a in arg_shapes])
         rep = NamedSharding(mesh, P())
-        return ((NamedSharding(mesh, P(b, None, None, None)),)
+        return ((NamedSharding(mesh, P(b, *(None,) * nd)),)
                 + (rep,) * (2 * n_convs))
 
     def partition(mesh, arg_shapes, result_shape):
         b = _batch_axis([a.sharding for a in arg_shapes])
-        xs = NamedSharding(mesh, P(b, None, None, None))
+        xs = NamedSharding(mesh, P(b, *(None,) * nd))
         rep = NamedSharding(mesh, P())
 
         def lower(x, *rest):
@@ -180,11 +195,13 @@ def partitioned_dense_block_bwd(n_convs: int, rows: int, res_scale: float,
                 (xs,) + (rep,) * (2 * n_convs),
                 (xs,) * n_arr + (rep,) * n_convs)
 
-    operands = ["b x0 x1 x2"]
-    operands += [f"b p{k}1 p{k}2 p{k}3" for k in range(n_convs - 1)]
-    operands += ["b g0 g1 g2"]
+    xdims = " ".join(f"x{j}" for j in range(nd))
+    operands = [f"b {xdims}"]
+    operands += ["b " + " ".join(f"p{k}{j}" for j in range(nd))
+                 for k in range(n_convs - 1)]
+    operands += ["b " + " ".join(f"g{j}" for j in range(nd))]
     operands += [f"w{k}0 w{k}1 w{k}2 w{k}3" for k in range(n_convs)]
-    results = ["b y0 y1 y2"]
+    results = ["b " + " ".join(f"y{j}" for j in range(nd))]
     results += [f"v{k}0 v{k}1 v{k}2 v{k}3" for k in range(n_convs)]
     results += [f"u{k}0" for k in range(n_convs)]
     f.def_partition(

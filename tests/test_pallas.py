@@ -413,6 +413,108 @@ def test_dense_block_cf_kernel_bwd_aligned_width():
                                    atol=5e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("save_acts", [False, True])
+def test_dense_block_cf5_flat_io_matches_4d(save_acts):
+    """Flat padded chaining (round 3): with ``flat_h`` the kernel
+    consumes/produces (B, C, (h+2·halo)·W) buffers with zero pad rows —
+    outputs must equal the 4-D path exactly, pad rows must come back
+    zero (the next block's input contract), and acts likewise."""
+    from super_resolution_tpu.ops.pallas.dense_block_cf import (
+        flat_io_ok,
+        fused_dense_block_cf5,
+    )
+
+    nf, gc, rows, h, w = 8, 4, 8, 24, 128
+    halo = 5
+    assert flat_io_ok(h, w, rows)
+    ws, bs = [], []
+    cin = nf
+    for k in range(5):
+        cout = nf if k == 4 else gc
+        ws.append(jax.random.normal(jax.random.key(90 + k),
+                                    (3, 3, cin, cout), jnp.float32) * 0.1)
+        bs.append(jax.random.normal(jax.random.key(95 + k), (cout,),
+                                    jnp.float32) * 0.1)
+        cin += gc
+    x = jax.random.normal(jax.random.key(7), (2, nf, h, w), jnp.float32)
+    x_flat = jnp.pad(x, ((0, 0), (0, 0), (halo, halo), (0, 0))) \
+        .reshape(2, nf, -1)
+
+    with pltpu.force_tpu_interpret_mode():
+        ref = fused_dense_block_cf5(x, ws, bs, rows=rows,
+                                    save_acts=save_acts)
+        got = fused_dense_block_cf5(x_flat, ws, bs, rows=rows,
+                                    save_acts=save_acts, flat_h=h)
+    if save_acts:
+        ref, ref_acts = ref
+        got, got_acts = got
+    gp = np.asarray(got).reshape(2, nf, h + 2 * halo, w)
+    np.testing.assert_allclose(gp[:, :, halo:halo + h], np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    assert np.all(gp[:, :, :halo] == 0) and np.all(gp[:, :, halo + h:] == 0)
+    if save_acts:
+        for a_ref, a_got in zip(ref_acts, got_acts):
+            ap = np.asarray(a_got).reshape(2, gc, h + 2 * halo, w)
+            np.testing.assert_allclose(ap[:, :, halo:halo + h],
+                                       np.asarray(a_ref),
+                                       atol=1e-5, rtol=1e-5)
+            assert np.all(ap[:, :, :halo] == 0)
+            assert np.all(ap[:, :, halo + h:] == 0)
+
+
+def test_dense_block_cf_train_flat_chain_grads_match_lax():
+    """Two flat-chained blocks with an RRDB-style residual: grads of a
+    slice-then-MSE loss must match the lax reference — the end-to-end
+    contract of the flat trunk layout (pad-row cotangent spill values
+    must never leak into real gradients)."""
+    from super_resolution_tpu.ops.pallas.dense_block_cf_vjp import (
+        dense_block_cf_train,
+    )
+
+    nf, gc, rows, h, w = 8, 4, 8, 16, 128
+    halo = 5
+
+    def mk(seed):
+        ws, bs = [], []
+        cin = nf
+        for k in range(5):
+            cout = nf if k == 4 else gc
+            ws.append(jax.random.normal(jax.random.key(seed + k),
+                                        (3, 3, cin, cout),
+                                        jnp.float32) * 0.1)
+            bs.append(jax.random.normal(jax.random.key(seed + 50 + k),
+                                        (cout,), jnp.float32) * 0.1)
+            cin += gc
+        return ws, bs
+
+    ws1, bs1 = mk(300)
+    ws2, bs2 = mk(400)
+    x = jax.random.normal(jax.random.key(3), (2, nf, h, w), jnp.float32)
+    tgt = jax.random.normal(jax.random.key(4), x.shape, jnp.float32)
+
+    def loss_flat(x):
+        t = jnp.pad(x, ((0, 0), (0, 0), (halo, halo), (0, 0))) \
+            .reshape(2, nf, -1)
+        t = t + 0.2 * dense_block_cf_train(t, ws1, bs1, rows, 0.2, 0.2,
+                                           None, h)
+        t = t + 0.2 * dense_block_cf_train(t, ws2, bs2, rows, 0.2, 0.2,
+                                           None, h)
+        y = t.reshape(2, nf, h + 2 * halo, w)[:, :, halo:halo + h]
+        return jnp.mean((y - tgt) ** 2)
+
+    def loss_ref(x):
+        t = jnp.transpose(x, (0, 2, 3, 1))
+        t = t + 0.2 * _ref_dense_block(t, ws1, bs1)
+        t = t + 0.2 * _ref_dense_block(t, ws2, bs2)
+        return jnp.mean((jnp.transpose(t, (0, 3, 1, 2)) - tgt) ** 2)
+
+    gr = jax.grad(loss_ref)(x)
+    with pltpu.force_tpu_interpret_mode():
+        gk = jax.grad(loss_flat)(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               atol=2e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("h", [8, 24])
 def test_dense_block_cf_kernel_bwd_carry_band_counts(h):
     """The backward's in-kernel carry overlap-add across the band grid
