@@ -199,3 +199,32 @@ def test_partitioned_dense_block_grads_match_single_device():
     for a, b in zip(got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_partitioned_dense_block_flat_builders():
+    """DP × flat padded chaining (round 3): the rank-3 flat layout's
+    custom_partitioning builders must construct (Shardy rule strings
+    parse at def_partition time) and be cached separately from the 4-D
+    variants.  Multi-device runtime equality for the flat path is NOT
+    testable off-hardware: the flat kernel's manual DMAs need the TPU
+    interpret mode, whose ordered-IO effects custom_partitioning cannot
+    stage under a mesh, and the generic interpret=True cannot emulate
+    DMA semaphores — single-device flat correctness is covered in
+    tests/test_pallas.py and on-chip by tools/verify_grads_onchip.py
+    (the production folded training config runs exactly this path)."""
+    from super_resolution_tpu.ops.pallas.partitioned import (
+        partitioned_dense_block,
+        partitioned_dense_block_bwd,
+        partitioned_dense_block_fwd,
+    )
+
+    flat = [partitioned_dense_block(5, 8, 0.2, 0.2, flat_h=16),
+            partitioned_dense_block_fwd(5, 8, 0.2, 0.2, flat_h=16),
+            partitioned_dense_block_bwd(5, 8, 0.2, 0.2, flat_h=16)]
+    four_d = [partitioned_dense_block(5, 8, 0.2, 0.2),
+              partitioned_dense_block_fwd(5, 8, 0.2, 0.2),
+              partitioned_dense_block_bwd(5, 8, 0.2, 0.2)]
+    for f, g in zip(flat, four_d):
+        assert callable(f) and callable(g) and f is not g
+    # cached: same static config returns the same wrapped fn
+    assert partitioned_dense_block(5, 8, 0.2, 0.2, flat_h=16) is flat[0]
