@@ -462,6 +462,61 @@ def test_dense_block_cf5_flat_io_matches_4d(save_acts):
             assert np.all(ap[:, :, halo + h:] == 0)
 
 
+@pytest.mark.parametrize("save_acts", [False, True])
+@pytest.mark.parametrize("geom", [
+    (16, 128, 8, 2, None, False),     # aligned width, 4-D
+    (16, 384, 8, 2, 48, False),       # batch-to-lane folded (training)
+    (8, 128, 8, 1, None, False),      # single band (first == last)
+    (24, 128, 8, 2, None, True),      # flat padded chaining
+])
+def test_dense_block_cf9_matches_cf5(save_acts, geom):
+    """The dy-extended kernel (v9, dense_block_cf_ext.py) must equal v5
+    on every production geometry: 4-D aligned, batch-to-lane folded,
+    single-band, and flat padded chaining (incl. the pad-row-zero
+    contract and the save-acts residuals)."""
+    from super_resolution_tpu.ops.pallas.dense_block_cf import (
+        fused_dense_block_cf5,
+    )
+    from super_resolution_tpu.ops.pallas.dense_block_cf_ext import (
+        fused_dense_block_cf9,
+    )
+
+    h, w, rows, batch, img_w, flat = geom
+    nf, gc, halo = 8, 4, 5
+    ws, bs = [], []
+    cin = nf
+    for k in range(5):
+        cout = nf if k == 4 else gc
+        ws.append(jax.random.normal(jax.random.key(130 + k),
+                                    (3, 3, cin, cout), jnp.float32) * 0.1)
+        bs.append(jax.random.normal(jax.random.key(140 + k), (cout,),
+                                    jnp.float32) * 0.1)
+        cin += gc
+    x = jax.random.normal(jax.random.key(11), (batch, nf, h, w),
+                          jnp.float32)
+    if flat:
+        x = jnp.pad(x, ((0, 0), (0, 0), (halo, halo), (0, 0))) \
+            .reshape(batch, nf, -1)
+    kw = dict(rows=rows, save_acts=save_acts, img_w=img_w,
+              flat_h=h if flat else None)
+    with pltpu.force_tpu_interpret_mode():
+        r5 = fused_dense_block_cf5(x, ws, bs, **kw)
+        r9 = fused_dense_block_cf9(x, ws, bs, **kw)
+    if save_acts:
+        (y5, a5), (y9, a9) = r5, r9
+        for a, b in zip(a5, a9):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
+    else:
+        y5, y9 = r5, r9
+    np.testing.assert_allclose(np.asarray(y5), np.asarray(y9),
+                               atol=1e-5, rtol=1e-5)
+    if flat:
+        yp = np.asarray(y9).reshape(batch, nf, h + 2 * halo, w)
+        assert np.all(yp[:, :, :halo] == 0)
+        assert np.all(yp[:, :, halo + h:] == 0)
+
+
 def test_dense_block_cf_train_flat_chain_grads_match_lax():
     """Two flat-chained blocks with an RRDB-style residual: grads of a
     slice-then-MSE loss must match the lax reference — the end-to-end

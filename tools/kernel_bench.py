@@ -49,6 +49,9 @@ def main():
     from super_resolution_tpu.ops.pallas.dense_block_cf import (
         fused_dense_block_cf5,
     )
+    from super_resolution_tpu.ops.pallas.dense_block_cf_ext import (
+        fused_dense_block_cf9,
+    )
     from super_resolution_tpu.ops.pallas.experiments_dense_block import (
         fused_dense_block_cf2,
         fused_dense_block_cf3,
@@ -97,7 +100,8 @@ def main():
         fn = {"v3b": fused_dense_block_cf2, "v4": fused_dense_block_cf3,
               "v5": fused_dense_block_cf5,
               "v6": fused_dense_block_cf6,
-              "v8": fused_dense_block_cf8}[name]
+              "v8": fused_dense_block_cf8,
+              "v9": fused_dense_block_cf9}[name]
         for rows in (int(r) for r in args.rows.split(",")):
             if H % rows:
                 continue
