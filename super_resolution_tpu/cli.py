@@ -239,6 +239,16 @@ def main(argv=None):
     t.add_argument("--eval_interval", type=int, default=None)
     t.add_argument("--profile_dir", default=None,
                    help="jax.profiler trace output dir")
+    t.add_argument("--multihost", action="store_true",
+                   help="initialize the JAX distributed runtime (DCN) "
+                        "before training — every host runs this same "
+                        "command; coordinator/process id auto-detect on "
+                        "TPU pods or come from --coordinator/--num_"
+                        "processes/--process_id")
+    t.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (multi-host)")
+    t.add_argument("--num_processes", type=int, default=None)
+    t.add_argument("--process_id", type=int, default=None)
     t.add_argument("--loader", choices=("threads", "grain"),
                    default="threads",
                    help="input pipeline backend (grain = multiprocess "
@@ -319,6 +329,14 @@ def main(argv=None):
     i.add_argument("--out", required=True)
 
     args = parser.parse_args(argv)
+    if getattr(args, "multihost", False):
+        # must run before the first device op (so before _build_cfg's
+        # device queries and model init)
+        from super_resolution_tpu.parallel import multihost
+
+        multihost.initialize(coordinator_address=args.coordinator,
+                             num_processes=args.num_processes,
+                             process_id=args.process_id)
     cfg = _build_cfg(args)
 
     if args.cmd == "train":
@@ -331,7 +349,10 @@ def main(argv=None):
                 GrainPatchLoader,
             )
 
-            data_loader = GrainPatchLoader(cfg.data, seed=cfg.seed)
+            from super_resolution_tpu.parallel import multihost
+
+            data_loader = GrainPatchLoader(cfg.data, seed=cfg.seed,
+                                           part=multihost.data_part())
         with profiler_trace(args.profile_dir):
             train(cfg, data_loader=data_loader, total_steps=args.steps,
                   resume=args.resume, init_g_from=args.init_g_from,

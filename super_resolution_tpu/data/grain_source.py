@@ -17,7 +17,7 @@ iterator state round-trips through grain's native
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -35,10 +35,12 @@ class GrainPatchLoader:
     paired ``{"hr", "lr"}`` dict batches when ``cfg.lr_dir`` is set."""
 
     def __init__(self, cfg: DataConfig, files: Optional[Sequence[str]] = None,
-                 seed: int = 0):
+                 seed: int = 0, part: Tuple[int, int] = (0, 1)):
         import grain
 
         self.cfg = cfg
+        assert cfg.batch_size % part[1] == 0, (cfg.batch_size, part)
+        self.part = (int(part[0]), int(part[1]))
         self.paired = cfg.lr_dir is not None
         if self.paired:
             # files holds (hr_path, lr_path) tuples, matched by stem —
@@ -63,12 +65,26 @@ class GrainPatchLoader:
                 return {"hr": hr, "lr": lr}
             return _decode_crop(path, patch, rng)
 
-        ds = (grain.MapDataset.source(list(self.files))
-              .shuffle(seed=seed)
-              .repeat()
-              .map_with_index(lambda i, p: (p, (seed, i)))
-              .map(decode)
-              .batch(cfg.batch_size))
+        base = (grain.MapDataset.source(list(self.files))
+                .shuffle(seed=seed)
+                .repeat()
+                .map_with_index(lambda i, p: (p, (seed, i)))
+                .map(decode))
+        index, count = self.part
+        if count > 1:
+            # multi-host partition (parallel/multihost.py): global batch
+            # s row r is record s·B + r, so host rows are the strided
+            # slices lo+j::B round-robin-mixed back into step order —
+            # each host decodes ONLY its rows, and the concatenation
+            # over hosts is bit-identical to the part=(0,1) stream
+            b_glob = cfg.batch_size
+            local = b_glob // count
+            lo = index * local
+            base = grain.MapDataset.mix(
+                [base[lo + j::b_glob] for j in range(local)])
+            ds = base.batch(local)
+        else:
+            ds = base.batch(cfg.batch_size)
         if cfg.n_workers > 0:
             it = ds.to_iter_dataset()
             it = it.mp_prefetch(

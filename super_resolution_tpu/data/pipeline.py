@@ -123,8 +123,18 @@ class PatchLoader:
     """
 
     def __init__(self, cfg: DataConfig, files: Optional[Sequence[str]] = None,
-                 seed: int = 0, deterministic: bool = True):
+                 seed: int = 0, deterministic: bool = True,
+                 part: Tuple[int, int] = (0, 1)):
         self.cfg = cfg
+        # multi-host partition (parallel/multihost.py): this loader
+        # yields rows [index·B/count, (index+1)·B/count) of the GLOBAL
+        # batch — path sampling and per-item crop RNG derive from the
+        # global (seed, step, row), so the concatenation over all parts
+        # is bit-identical to the part=(0, 1) stream at any host count.
+        index, count = part
+        assert 0 <= index < count, part
+        assert cfg.batch_size % count == 0, (cfg.batch_size, count)
+        self.part = (int(index), int(count))
         if cfg.lr_dir is not None:
             # paired mode: self.files holds (hr_path, lr_path) tuples and
             # batches are {"hr", "lr"} uint8 dicts
@@ -152,16 +162,25 @@ class PatchLoader:
         return [self.files[i] for i in idx]
 
     def _make_batch(self, step: int):
-        rng = np.random.default_rng((self.seed, step, 1))
+        # per-row RNG keyed on the GLOBAL row index, so any (index,
+        # count) partition decodes exactly its rows of the same global
+        # batch (the multi-host input contract — parallel/multihost.py)
         paths = self._sample_paths(step)
+        index, count = self.part
+        local = self.cfg.batch_size // count
+        lo = index * local
+        rows = range(lo, lo + local)
+        row_rng = lambda i: np.random.default_rng(             # noqa: E731
+            (self.seed, step, 1, i))
         if self.cfg.lr_dir is not None:
-            pairs = [_decode_crop_pair(hp, lp, self.cfg.patch_hw,
-                                       self.cfg.scale, rng)
-                     for hp, lp in paths]
+            pairs = [_decode_crop_pair(*paths[i], self.cfg.patch_hw,
+                                       self.cfg.scale, row_rng(i))
+                     for i in rows]
             return {"hr": np.stack([h for h, _ in pairs]),
                     "lr": np.stack([l for _, l in pairs])}
         return np.stack([
-            _decode_crop(p, self.cfg.patch_hw, rng) for p in paths])
+            _decode_crop(paths[i], self.cfg.patch_hw, row_rng(i))
+            for i in rows])
 
     def __iter__(self) -> Iterator[np.ndarray]:
         if self.cfg.n_workers <= 1:
@@ -217,10 +236,17 @@ class PatchLoader:
 
 
 class SyntheticPatches:
-    """Deterministic random uint8 patches — dataset-free training/bench."""
+    """Deterministic random uint8 patches — dataset-free training/bench.
 
-    def __init__(self, cfg: DataConfig, seed: int = 0):
+    ``part=(index, count)`` yields this host's rows of the global batch
+    (generated globally, then sliced — same partition contract as
+    :class:`PatchLoader`)."""
+
+    def __init__(self, cfg: DataConfig, seed: int = 0,
+                 part: Tuple[int, int] = (0, 1)):
         self.cfg, self.seed, self.step = cfg, seed, 0
+        assert cfg.batch_size % part[1] == 0, (cfg.batch_size, part)
+        self.part = (int(part[0]), int(part[1]))
 
     def state_dict(self):
         return {"seed": self.seed, "step": self.step}
@@ -230,11 +256,14 @@ class SyntheticPatches:
 
     def __iter__(self):
         c = self.cfg
+        index, count = self.part
+        local = c.batch_size // count
         while True:
             rng = np.random.default_rng((self.seed, self.step))
             self.step += 1
-            yield rng.integers(0, 256, (c.batch_size, *c.patch_hw, 3),
-                               dtype=np.uint8)
+            full = rng.integers(0, 256, (c.batch_size, *c.patch_hw, 3),
+                                dtype=np.uint8)
+            yield full[index * local:(index + 1) * local]
 
 
 def device_prefetch(it: Iterator[np.ndarray], size: int = 2,

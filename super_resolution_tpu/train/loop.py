@@ -32,6 +32,7 @@ from super_resolution_tpu.data import (
     to_uint8_image,
 )
 from super_resolution_tpu.metrics import MetricLogger, Throughput
+from super_resolution_tpu.parallel import multihost as mh
 from super_resolution_tpu.parallel.dp import (
     make_mesh,
     shard_batch_iter,
@@ -64,7 +65,7 @@ def _save_sample_grid(cfg: TrainConfig, infer_fn, state: GANTrainState,
     hr_uint8 = head["hr"] if isinstance(head, dict) else head
     batch = preprocess_batch(jax.random.key(0), head, cfg.data,
                              augment=False)
-    sr = infer_fn(eval_params(cfg, state), batch["lr"])
+    sr = infer_fn(_local_params(eval_params(cfg, state)), batch["lr"])
     sr_u8 = np.asarray(jax.device_get(to_uint8_image(sr, cfg.data)))
     hr_u8 = np.asarray(jax.device_get(hr_uint8))
     h, w = hr_u8.shape[1:3]
@@ -88,6 +89,33 @@ def _save_sample_grid(cfg: TrainConfig, infer_fn, state: GANTrainState,
         os.path.join(out_dir, f"step{step:08d}.png"))
     if logger is not None:
         logger.log_image(step, "samples/bicubic_sr_hr", grid)
+
+
+def _host_rows(batch):
+    """Host copy of a device batch for the sample grid.  Multi-host
+    global arrays are not fully addressable — gather this process's
+    shard rows (in row order) instead; 4 rows is all the grid needs."""
+    def get(a):
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            shards = sorted(a.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            return np.concatenate([np.asarray(s.data) for s in shards])
+        return np.asarray(jax.device_get(a))
+
+    return jax.tree.map(get, batch)
+
+
+def _local_params(params):
+    """Host copy of (replicated) params for primary-only side effects.
+    Under multi-host a replicated global array is not fully addressable,
+    but every local device holds a full copy — read shard 0 so samples/
+    eval never enter a collective only process 0 would join."""
+    def get(a):
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            return np.asarray(a.addressable_shards[0].data)
+        return np.asarray(jax.device_get(a))
+
+    return jax.tree.map(get, params)
 
 
 def train(cfg: TrainConfig,
@@ -115,12 +143,15 @@ def train(cfg: TrainConfig,
 
     loader = data_loader
     if data_iter is None and loader is None:
+        # under multi-host each process loads ITS rows of the global
+        # batch (bit-identical concatenation — parallel/multihost.py)
+        part = mh.data_part()
         if os.path.isdir(cfg.data.dataset_dir):
-            loader = PatchLoader(cfg.data, seed=cfg.seed)
+            loader = PatchLoader(cfg.data, seed=cfg.seed, part=part)
         else:
             print(f"[train] dataset dir {cfg.data.dataset_dir!r} missing — "
                   "using synthetic patches")
-            loader = SyntheticPatches(cfg.data, seed=cfg.seed)
+            loader = SyntheticPatches(cfg.data, seed=cfg.seed, part=part)
 
     state = init_state(cfg)
     start_step = 0
@@ -168,6 +199,11 @@ def train(cfg: TrainConfig,
     if cfg.data_parallel > 1:
         mesh = make_mesh(cfg.data_parallel)
         state = shard_state(state, mesh)
+    if mh.process_count() > 1 and mesh is None:
+        raise ValueError(
+            "multi-host training needs a device mesh: set "
+            "--data_parallel to the GLOBAL device count "
+            f"({len(jax.devices())} across {mh.process_count()} hosts)")
 
     # Track the loader state that corresponds to each batch as it is
     # *pulled*, so the checkpoint can store the state matching the batch
@@ -187,7 +223,10 @@ def train(cfg: TrainConfig,
     if data_iter is None:
         data_iter = iter(loader)
     data_iter = _tracked(data_iter)
-    if mesh is not None:
+    if mh.process_count() > 1:
+        data_iter = mh.global_batch_iter(data_iter, mesh,
+                                         cfg.data.prefetch)
+    elif mesh is not None:
         data_iter = shard_batch_iter(data_iter, mesh)
     else:
         data_iter = device_prefetch(data_iter, cfg.data.prefetch)
@@ -196,7 +235,7 @@ def train(cfg: TrainConfig,
     gan_step = make_gan_step(cfg) if cfg.loss.lambda_adv > 0 else None
     infer_fn = make_infer_fn(cfg)
 
-    logger = MetricLogger(log_dir)
+    logger = MetricLogger(log_dir if mh.is_primary() else None)
     meter = Throughput(n_chips=max(1, cfg.data_parallel))
     log_every = 50
     last_host_batch = None
@@ -221,20 +260,20 @@ def train(cfg: TrainConfig,
                          extra={"mp_per_sec_per_chip":
                                 meter.mp_per_sec_per_chip()})
             meter.reset()
-        if sample_dir and done % cfg.sample_interval == 0:
+        if sample_dir and mh.is_primary() \
+                and done % cfg.sample_interval == 0:
             _save_sample_grid(cfg, infer_fn, state,
-                              jax.tree.map(np.asarray,
-                                           jax.device_get(last_host_batch)),
+                              _host_rows(last_host_batch),
                               done, sample_dir, logger=logger)
-        if eval_dir and done % (eval_interval or cfg.checkpoint_interval) \
-                == 0:
+        if eval_dir and mh.is_primary() \
+                and done % (eval_interval or cfg.checkpoint_interval) == 0:
             from super_resolution_tpu.train.evaluate import (
                 evaluate_directory,
             )
 
             tile = max(cfg.data.lr_patch, 48)
             ev = evaluate_directory(cfg,
-                                    jax.device_get(eval_params(cfg, state)),
+                                    _local_params(eval_params(cfg, state)),
                                     eval_dir, tile=tile,
                                     halo=min(8, tile // 4), max_images=8,
                                     infer_fn=infer_fn)

@@ -1,0 +1,188 @@
+"""Multi-host (DCN) layer tests — single-process, per the SURVEY §4.4
+strategy: everything that CAN be validated without a second host is
+(partition determinism, global-array assembly, the degenerate
+process_count == 1 equivalences, the CLI init path); the only part left
+to a real pod is the coordinator handshake itself."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from super_resolution_tpu.config import DataConfig
+from super_resolution_tpu.data.pipeline import (
+    PatchLoader,
+    SyntheticPatches,
+)
+from super_resolution_tpu.parallel import multihost as mh
+from super_resolution_tpu.parallel.dp import batch_sharded, make_mesh
+
+
+def _write_images(tmp_path, n=3, size=40):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    d = tmp_path / "hr"
+    d.mkdir(exist_ok=True)
+    for i in range(n):
+        Image.fromarray(rng.randint(0, 255, (size, size, 3),
+                                    dtype=np.uint8)).save(d / f"{i}.png")
+    return str(d)
+
+
+@pytest.mark.parametrize("count", [2, 4])
+def test_patch_loader_partition_concat_exact(tmp_path, count):
+    """The concatenation of all parts' batches must be bit-identical to
+    the unpartitioned stream — the multi-host input contract (each host
+    decodes only its rows of the same global batch)."""
+    root = _write_images(tmp_path)
+    cfg = DataConfig(dataset_dir=root, batch_size=4, hr_patch=16,
+                     n_workers=1)
+    full = iter(PatchLoader(cfg, seed=3))
+    parts = [iter(PatchLoader(cfg, seed=3, part=(i, count)))
+             for i in range(count)]
+    for _ in range(3):
+        want = next(full)
+        got = np.concatenate([next(p) for p in parts])
+        np.testing.assert_array_equal(got, want)
+
+
+def test_patch_loader_partition_paired(tmp_path):
+    """Paired (HR, LR) mode partitions the same way — aligned crops per
+    global row, independent of the host count."""
+    from PIL import Image
+
+    rng = np.random.RandomState(1)
+    hr_d, lr_d = tmp_path / "hr", tmp_path / "lr"
+    hr_d.mkdir(), lr_d.mkdir()
+    for i in range(3):
+        hr = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(hr).save(hr_d / f"{i}.png")
+        Image.fromarray(hr[::4, ::4]).save(lr_d / f"{i}.png")
+    cfg = DataConfig(dataset_dir=str(hr_d), lr_dir=str(lr_d),
+                     batch_size=4, hr_patch=16, n_workers=1)
+    full = iter(PatchLoader(cfg, seed=5))
+    parts = [iter(PatchLoader(cfg, seed=5, part=(i, 2))) for i in range(2)]
+    for _ in range(2):
+        want = next(full)
+        lots = [next(p) for p in parts]
+        for key in ("hr", "lr"):
+            np.testing.assert_array_equal(
+                np.concatenate([b[key] for b in lots]), want[key])
+
+
+def test_grain_loader_partition_concat_exact(tmp_path):
+    """The grain loader honors the same part contract via strided-slice
+    mixing — each host decodes only its rows of the global batch."""
+    from super_resolution_tpu.data.grain_source import GrainPatchLoader
+
+    root = _write_images(tmp_path)
+    cfg = DataConfig(dataset_dir=root, batch_size=4, hr_patch=16,
+                     n_workers=0)
+    full = iter(GrainPatchLoader(cfg, seed=3))
+    parts = [iter(GrainPatchLoader(cfg, seed=3, part=(i, 2)))
+             for i in range(2)]
+    for _ in range(3):
+        want = next(full)
+        got = np.concatenate([next(p) for p in parts])
+        np.testing.assert_array_equal(got, want)
+
+
+def test_synthetic_patches_partition(tmp_path):
+    cfg = DataConfig(batch_size=8, hr_patch=16)
+    full = iter(SyntheticPatches(cfg, seed=2))
+    parts = [iter(SyntheticPatches(cfg, seed=2, part=(i, 4)))
+             for i in range(4)]
+    want = next(full)
+    np.testing.assert_array_equal(
+        np.concatenate([next(p) for p in parts]), want)
+
+
+def test_global_batch_matches_device_put():
+    """process_count == 1 degeneracy: make_array_from_process_local_data
+    must equal device_put with the same batch sharding — values AND
+    sharding — including dict (paired) batches."""
+    mesh = make_mesh(8)
+    x = np.arange(8 * 4 * 4 * 3, dtype=np.uint8).reshape(8, 4, 4, 3)
+    got = mh.global_batch({"hr": x, "lr": x[:, ::2, ::2]}, mesh)
+    want = jax.device_put(x, batch_sharded(mesh))
+    np.testing.assert_array_equal(np.asarray(got["hr"]), np.asarray(want))
+    assert got["hr"].sharding == want.sharding
+    assert got["lr"].sharding == batch_sharded(mesh)
+
+
+def test_global_batch_iter_feeds_sharded_step():
+    """A jitted global-batch reduction over mh.global_batch_iter equals
+    the same reduction over dp.shard_batch_iter — the two input paths
+    are interchangeable at the step boundary."""
+    from super_resolution_tpu.parallel.dp import shard_batch_iter
+
+    mesh = make_mesh(8)
+    batches = [np.random.RandomState(i).randint(
+        0, 255, (8, 8, 8, 3), np.uint8) for i in range(3)]
+    f = jax.jit(lambda b: jnp.mean(b.astype(jnp.float32)))
+    got = [float(f(b)) for b in mh.global_batch_iter(iter(batches), mesh)]
+    want = [float(f(b)) for b in shard_batch_iter(iter(batches), mesh)]
+    assert got == want
+
+
+def test_process_helpers_single_host(monkeypatch):
+    assert mh.process_count() == 1
+    assert mh.process_index() == 0
+    assert mh.is_primary()
+    assert mh.data_part() == (0, 1)
+    assert mh.local_rows(16) == 16
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    with pytest.raises(ValueError):
+        mh.local_rows(16)
+    assert mh.local_rows(12) == 4
+
+
+def test_host_rows_and_local_params_single_host():
+    from super_resolution_tpu.train.loop import _host_rows, _local_params
+
+    mesh = make_mesh(8)
+    x = np.arange(8 * 2 * 2 * 3, dtype=np.uint8).reshape(8, 2, 2, 3)
+    dev = jax.device_put(x, batch_sharded(mesh))
+    np.testing.assert_array_equal(_host_rows(dev), x)
+    p = {"w": jnp.ones((3, 3))}
+    out = _local_params(jax.device_put(p, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec())))
+    np.testing.assert_array_equal(out["w"], np.ones((3, 3)))
+
+
+def test_cli_multihost_single_process_end_to_end(tmp_path):
+    """Drive the --multihost CLI path in a subprocess (so the
+    distributed runtime never contaminates this test process): one
+    process, local coordinator, 8 virtual devices, 2 train steps under
+    --data_parallel 8.  Covers initialize() + the mesh requirement +
+    the loader partition plumbing end to end."""
+    root = _write_images(tmp_path, size=64)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PYTHONPATH": os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+    })
+    r = subprocess.run(
+        [sys.executable, "-m", "super_resolution_tpu.cli", "train",
+         "--dataset_dir", root, "--steps", "2", "--batch_size", "8",
+         "--hr_height", "32", "--residual_blocks", "1",
+         "--warmup_batches", "10", "--no_perceptual",
+         "--data_parallel", "8", "--multihost",
+         "--coordinator", f"127.0.0.1:{port}",
+         "--num_processes", "1", "--process_id", "0",
+         "--checkpoint_dir", str(tmp_path / "ck")],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "warmup step 2" in r.stdout + r.stderr, r.stdout[-2000:]
