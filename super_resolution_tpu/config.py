@@ -224,6 +224,16 @@ class TrainConfig:
     # runs against reference training curves.
     bn_track_g_step: bool = False
 
+    # Deduplicated GAN step (train/steps._dedup_gan_step): compute the
+    # D(hr) forward ONCE per iteration — its value (and feature maps)
+    # feed the G loss, its gradient feeds the D update — instead of the
+    # reference's 4 discriminator forwards.  Mathematically identical
+    # updates (tested); ignored when bn_track_g_step is set (that flag
+    # exists to replay the reference's 4-forward BN order).  Default
+    # False pending an on-chip win measurement (XLA may already CSE the
+    # duplicate forward — BENCHNOTES).
+    dedup_d_hr: bool = False
+
     # Generator EMA (the BasicSR family release convention the importer
     # already honors on the read side — import_torch.load_pth prefers
     # 'params_ema'): an exponential moving average of G's params is

@@ -148,12 +148,31 @@ def make_pretrain_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
 
 def make_gan_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
     """Full ESRGAN alternating G/D step (SURVEY.md §3.1; BASELINE.json
-    config 3)."""
+    config 3).
+
+    ``cfg.dedup_d_hr`` selects a restructured step that computes the
+    D(hr) forward ONCE (3 discriminator forwards per step instead of
+    the reference's 4): G's loss depends on ``g_params`` only through
+    ``sr``, and the RaGAN/feature-matching references to D(hr) carry no
+    generator gradient, so the D-step's differentiated D(hr) forward
+    can donate its value (and feature maps) to the G loss.  The G
+    gradient chains ``d loss(sr) / d sr`` through ``jax.vjp`` of the
+    generator — mathematically identical updates (tested vs the
+    reference-shaped step on CPU).  Mutually exclusive with
+    ``bn_track_g_step`` (whose point is replaying the reference's
+    4-forward BN bookkeeping order)."""
     cfg = _training_cfg(cfg)
     g, d, vgg = build_models(cfg)
     opt_g = make_optimizer(cfg.optim_g)
     opt_d = make_optimizer(cfg.optim_d)
     lcfg = cfg.loss
+
+    if cfg.dedup_d_hr and not cfg.bn_track_g_step:
+        step = _dedup_gan_step(cfg, g, d, vgg, opt_g, opt_d)
+        if jit:
+            step = jax.jit(step, donate_argnums=(0,) if cfg.donate_buffers
+                           else ())
+        return step
 
     def step(state: GANTrainState, hr_uint8: jnp.ndarray):
         rng, lr, hr = _prep(state, hr_uint8, cfg)
@@ -243,6 +262,95 @@ def make_gan_step(cfg: TrainConfig, jit: bool = True) -> StepFn:
     if jit:
         step = jax.jit(step, donate_argnums=(0,) if cfg.donate_buffers
                        else ())
+    return step
+
+
+def _dedup_gan_step(cfg: TrainConfig, g, d, vgg, opt_g, opt_d) -> StepFn:
+    """The deduplicated GAN step body (see make_gan_step docstring).
+    Default BN bookkeeping only (D running stats from the D-step
+    forwards; G-side D forwards never touch them — train-mode BN
+    normalizes with CURRENT batch stats, so logits are unaffected)."""
+    lcfg = cfg.loss
+    dfm = lcfg.use_perceptual and lcfg.perceptual_source == "d_features"
+
+    def step(state: GANTrainState, hr_uint8: jnp.ndarray):
+        rng, lr, hr = _prep(state, hr_uint8, cfg)
+
+        # G forward once, with its pullback kept for the chained grad
+        sr, g_vjp = jax.vjp(
+            lambda p: g.apply({"params": p}, lr), state.g_params)
+        sr_detached = jax.lax.stop_gradient(sr)
+
+        # ---- discriminator update first (same params/stats the
+        # reference's D step reads); its differentiated D(hr) forward
+        # also yields the values the G loss needs (pr, and feature maps
+        # for d_features perceptual)
+        def d_loss_fn(d_params):
+            dv = {"params": d_params, "batch_stats": state.d_stats}
+            (pr, fr), st1 = d.apply(dv, hr, train=True,
+                                    mutable=["batch_stats"],
+                                    return_features=True)
+            dv2 = {"params": d_params,
+                   "batch_stats": st1["batch_stats"]}
+            pf_bar, st2 = d.apply(dv2, sr_detached, train=True,
+                                  mutable=["batch_stats"])
+            return (ragan_discriminator_loss(pr, pf_bar),
+                    (st2["batch_stats"], pr, fr))
+
+        (d_loss, (d_stats, pr, fr)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params)
+        pr = jax.lax.stop_gradient(pr)
+        fr = jax.lax.stop_gradient(fr)
+        d_updates, d_opt = opt_d.update(d_grads, state.d_opt,
+                                        state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- generator losses as a function of sr alone
+        def g_loss_from_sr(sr_in):
+            pix = l1_loss(sr_in, hr)
+            (pf, ff), _ = d.apply(
+                {"params": state.d_params, "batch_stats": state.d_stats},
+                sr_in, train=True, mutable=["batch_stats"],
+                return_features=True)
+            g_adv_fn = (ragan_generator_loss_two_sided
+                        if lcfg.ragan_g_two_sided else ragan_generator_loss)
+            adv = g_adv_fn(pr, pf)
+            parts = {"loss_pixel": pix, "loss_adv": adv}
+            total = lcfg.lambda_adv * adv + lcfg.lambda_pixel * pix
+            if vgg is not None:
+                perc = perceptual_loss(
+                    lambda p, x: vgg.apply(p, x), state.vgg_params,
+                    sr_in, hr)
+                parts["loss_percep"] = perc
+                total = total + lcfg.lambda_percep * perc
+            elif dfm:
+                perc = feature_matching_loss(ff, fr)
+                parts["loss_percep"] = perc
+                total = total + lcfg.lambda_percep * perc
+            parts["loss_g"] = total
+            return total, parts
+
+        (_, g_parts), dsr = jax.value_and_grad(
+            g_loss_from_sr, has_aux=True)(sr)
+        (g_grads,) = g_vjp(dsr)
+        g_updates, g_opt = opt_g.update(g_grads, state.g_opt,
+                                        state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        metrics = dict(g_parts)
+        metrics.update({
+            "loss_d": d_loss,
+            "psnr": _psnr01(cfg, sr_detached, hr),
+            "grad_norm_g": optax.global_norm(g_grads),
+            "grad_norm_d": optax.global_norm(d_grads),
+        })
+        new_state = state.replace(
+            step=state.step + 1, rng=rng,
+            g_params=g_params, g_opt=g_opt,
+            g_ema=ema_update(cfg, state.g_ema, g_params),
+            d_params=d_params, d_stats=d_stats, d_opt=d_opt)
+        return new_state, metrics
+
     return step
 
 

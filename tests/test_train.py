@@ -1,6 +1,8 @@
 """Training-step and checkpoint tests (SURVEY.md §4.5): loss-decreases
 smoke, GAN step sanity, save/restore/resume equivalence, net_interp."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -102,6 +104,35 @@ def test_gan_step_with_perceptual():
     assert float(m["loss_g"]) == pytest.approx(
         float(m["loss_percep"]) + 5e-3 * float(m["loss_adv"])
         + 1e-2 * float(m["loss_pixel"]), rel=1e-5)
+
+
+@pytest.mark.parametrize("loss_kw", [
+    dict(use_perceptual=False),
+    dict(use_perceptual=True),
+    dict(use_perceptual=True, perceptual_source="d_features"),
+    dict(use_perceptual=False, ragan_g_two_sided=True),
+])
+def test_gan_step_dedup_d_hr_matches_reference_shape(loss_kw):
+    """cfg.dedup_d_hr (3 discriminator forwards per step instead of 4)
+    must produce the SAME updates and metrics as the reference-shaped
+    step — the dedup is a pure graph restructure: D(hr) carries no
+    generator gradient and train-mode BN normalizes with current batch
+    stats, so sharing its value changes nothing."""
+    cfg = tiny_cfg(loss=LossConfig(**loss_kw))
+    cfg2 = dataclasses.replace(cfg, dedup_d_hr=True)
+    batch = jnp.asarray(_batches(cfg, 1)[0])
+    s_ref, m_ref = make_gan_step(cfg)(init_state(cfg), batch)
+    s_ded, m_ded = make_gan_step(cfg2)(init_state(cfg2), batch)
+    for k in m_ref:
+        np.testing.assert_allclose(float(m_ded[k]), float(m_ref[k]),
+                                   rtol=2e-4, atol=1e-6, err_msg=k)
+    for field in ("g_params", "d_params", "d_stats", "g_ema"):
+        a = jax.tree.leaves(getattr(s_ref, field))
+        b = jax.tree.leaves(getattr(s_ded, field))
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       rtol=2e-4, atol=2e-6,
+                                       err_msg=field)
 
 
 def test_train_loop_smoke_and_warmup_switch(tmp_path):
