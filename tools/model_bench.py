@@ -68,10 +68,13 @@ def main():
                               slope=slope)
                 return wrapped
 
+            from super_resolution_tpu.ops.pallas import dense_block_cf_ext
+
             partitioned.fused_dense_block_cf5 = {
                 "v4": adapt(experiments_dense_block.fused_dense_block_cf3),
                 "v5": dense_block_cf.fused_dense_block_cf5,
-                "v6": adapt(experiments_dense_block.fused_dense_block_cf6)}[block]
+                "v6": adapt(experiments_dense_block.fused_dense_block_cf6),
+                "v9": dense_block_cf_ext.fused_dense_block_cf9}[block]
             partitioned.partitioned_dense_block.cache_clear()
             conv_cf.conv3x3_cf = (orig_conv if tail == "ktail"
                                   else lax_tail_conv)

@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--tail_up", default="naive",
                     choices=("polyphase", "naive"))
+    ap.add_argument("--dedup", action="store_true",
+                    help="cfg.dedup_d_hr: one D(hr) forward per GAN "
+                         "step (train/steps._dedup_gan_step)")
     args = ap.parse_args()
 
     import dataclasses
@@ -63,6 +66,7 @@ def main():
             loss=LossConfig(perceptual_source="d_features",
                             lambda_percep=1.0),
             warmup_batches=0,
+            dedup_d_hr=args.dedup,
         )
         make_step = (make_gan_step if args.step == "gan"
                      else make_pretrain_step)
