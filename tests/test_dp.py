@@ -4,6 +4,7 @@ CPU mesh and must reproduce single-device global-batch semantics exactly
 (grads, RaGAN means, BatchNorm stats)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -69,10 +70,15 @@ def test_pretrain_step_sharded_equals_single_device():
     _leaves_close(s_single.g_params, s_dp.g_params, atol=1e-5)
 
 
-def test_gan_step_sharded_equals_single_device():
+@pytest.mark.parametrize("dedup", [False, True])
+def test_gan_step_sharded_equals_single_device(dedup):
     """RaGAN batch means and BN batch stats must be mesh-global under the
-    sharded jit — large-batch semantics (SURVEY.md §7)."""
-    cfg = dp_cfg()
+    sharded jit — large-batch semantics (SURVEY.md §7).  Both step
+    shapes: the reference 4-forward step and the dedup_d_hr restructure
+    (its jax.vjp chain must preserve the same psum semantics)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(dp_cfg(), dedup_d_hr=dedup)
     batch = _batch(cfg)
     step = make_gan_step(cfg)
 
