@@ -42,7 +42,22 @@ def main() -> int:
     from super_resolution_tpu.config import GeneratorConfig
     from super_resolution_tpu.models import RRDBNet
 
+    # The tunneled TPU backend can go fully UNAVAILABLE (jax.devices()
+    # itself hangs — CLAUDE.md env gotchas); abort with a clear message
+    # after a bounded wait instead of hanging the driver forever.
+    import os
+    import threading
+
+    def _die():
+        print("[bench] TPU backend did not initialize within 20 min — "
+              "tunnel outage; aborting without a result", file=sys.stderr)
+        os._exit(1)
+
+    wd = threading.Timer(1200, _die)
+    wd.daemon = True
+    wd.start()
     dev = jax.devices()[0]
+    wd.cancel()
     print(f"[bench] device: {dev}", file=sys.stderr)
 
     # the channels-first fused Pallas dense-block kernel (v5: dy-in-K /
