@@ -34,6 +34,49 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from super_resolution_tpu.ops.pallas.dense_block_cf import (
     fused_dense_block_cf5,
 )
+from super_resolution_tpu.ops.pallas.dense_block_cf_ext import (
+    ext_ok,
+    fused_dense_block_cf9,
+)
+
+# v9 (dy-extended) forward dispatch knob — read at TRACE time, so set it
+# before the first traced call in a process (same convention as
+# dense_block_cf_vjp.DMA_IN_ENABLED).  When True, forwards whose width
+# passes ext_ok (W % 128 == 0: the folded training trunk and the
+# 128-wide inference tiles) and whose 3× dy-extended scratch fits the
+# VMEM cap run fused_dense_block_cf9 instead of v5 — one K = 3·C_k
+# matmul per conv (~18% fewer K-passes).  The backward stays v5
+# (v9-ification rejected on VMEM math, BENCHNOTES round 3).
+CF9_ENABLED = False
+
+# The v9 scratch is (3·c_total, band_rows·W) at x.dtype.  The forward
+# has no other large scratch (one accumulator, DMA semaphores), so 8 MiB
+# leaves half the 16 MiB scoped-VMEM budget for outputs/operands — it
+# admits both production geometries (6.2 MiB at rows=32·W=128 bf16,
+# 7.96 MiB at the folded rows=8·W=384 training trunk).
+_CF9_SCRATCH_CAP = 8 * 1024 * 1024
+
+
+def _fwd_kernel(x, weights, rows: int, flat_h):
+    """Trace-time v5/v9 forward selection (shapes are static under jit).
+
+    Returns a callable with the shared fused-dense-block contract."""
+    if not CF9_ENABLED:
+        return fused_dense_block_cf5
+    n_convs = len(weights)
+    if flat_h is not None:
+        w = x.shape[2] // (flat_h + 2 * n_convs)
+    else:
+        w = x.shape[3]
+    if not ext_ok(w):
+        return fused_dense_block_cf5
+    cin = weights[0].shape[2]
+    growth = weights[0].shape[3]
+    c_total = cin + (n_convs - 1) * growth
+    scratch = 3 * c_total * (rows + 2 * n_convs) * w * x.dtype.itemsize
+    if scratch > _CF9_SCRATCH_CAP:
+        return fused_dense_block_cf5
+    return fused_dense_block_cf9
 
 
 def _batch_axis(shardings):
@@ -59,10 +102,11 @@ def partitioned_dense_block(n_convs: int, rows: int, res_scale: float,
     def impl(x, *wb):
         ws = list(wb[:n_convs])
         bs = list(wb[n_convs:])
-        return fused_dense_block_cf5(x, ws, bs, rows=rows,
-                                     res_scale=res_scale, slope=slope,
-                                     interpret=interpret, img_w=img_w,
-                                     flat_h=flat_h)
+        fn = _fwd_kernel(x, ws, rows, flat_h)
+        return fn(x, ws, bs, rows=rows,
+                  res_scale=res_scale, slope=slope,
+                  interpret=interpret, img_w=img_w,
+                  flat_h=flat_h)
 
     f = custom_partitioning(impl)
 
@@ -111,11 +155,12 @@ def partitioned_dense_block_fwd(n_convs: int, rows: int, res_scale: float,
     def impl(x, *wb):
         ws = list(wb[:n_convs])
         bs = list(wb[n_convs:])
-        y, acts = fused_dense_block_cf5(x, ws, bs, rows=rows,
-                                        res_scale=res_scale, slope=slope,
-                                        save_acts=True,
-                                        interpret=interpret, img_w=img_w,
-                                        flat_h=flat_h)
+        fn = _fwd_kernel(x, ws, rows, flat_h)
+        y, acts = fn(x, ws, bs, rows=rows,
+                     res_scale=res_scale, slope=slope,
+                     save_acts=True,
+                     interpret=interpret, img_w=img_w,
+                     flat_h=flat_h)
         return (y, *acts)
 
     f = custom_partitioning(impl)

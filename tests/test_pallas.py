@@ -895,3 +895,135 @@ def test_training_cfg_fold_routing():
     al = dc.replace(dp, data=dc.replace(base.data, hr_patch=512,
                                         batch_size=4))
     assert _training_cfg(al).generator.conv_impl == "pallas_cf"
+
+
+def test_cf9_dispatch_selection():
+    """partitioned._fwd_kernel routes the fused forward to the
+    dy-extended v9 kernel only when CF9_ENABLED is on, the width passes
+    ext_ok (W % 128 == 0) and the 3× extended scratch fits the VMEM cap
+    — everything else stays on v5 (incl. the backward, always v5)."""
+    from super_resolution_tpu.ops.pallas import partitioned as pt
+    from super_resolution_tpu.ops.pallas.dense_block_cf import (
+        fused_dense_block_cf5,
+    )
+    from super_resolution_tpu.ops.pallas.dense_block_cf_ext import (
+        fused_dense_block_cf9,
+    )
+
+    nf, gc = 8, 4
+    ws, cin = [], nf
+    for k in range(5):
+        cout = nf if k == 4 else gc
+        ws.append(jnp.zeros((3, 3, cin, cout), jnp.float32))
+        cin += gc
+    x128 = jnp.zeros((1, nf, 16, 128), jnp.float32)
+    x48 = jnp.zeros((1, nf, 16, 48), jnp.float32)
+    old = pt.CF9_ENABLED
+    try:
+        pt.CF9_ENABLED = False
+        assert pt._fwd_kernel(x128, ws, 8, None) is fused_dense_block_cf5
+        pt.CF9_ENABLED = True
+        assert pt._fwd_kernel(x128, ws, 8, None) is fused_dense_block_cf9
+        # unaligned width → v5
+        assert pt._fwd_kernel(x48, ws, 8, None) is fused_dense_block_cf5
+        # flat layout: W recovered from flat_h; aligned → v9
+        xf = jnp.zeros((1, nf, (16 + 10) * 128), jnp.float32)
+        assert pt._fwd_kernel(xf, ws, 8, 16) is fused_dense_block_cf9
+        # extended scratch past the VMEM cap → v5
+        xw = jnp.zeros((1, nf, 8, 128 * 1024), jnp.float32)
+        assert pt._fwd_kernel(xw, ws, 8, None) is fused_dense_block_cf5
+    finally:
+        pt.CF9_ENABLED = old
+
+
+def test_cf9_dispatch_train_grads_match_lax():
+    """With CF9_ENABLED the custom-VJP *forward* (primal + save-acts)
+    runs the v9 kernel while the backward stays v5 — v9's saved
+    activations must drop into the v5 backward unchanged, so end-to-end
+    grads of an L2 loss still match the lax reference.  A spy on the
+    partitioned module's v9 binding proves the dispatch actually
+    fired."""
+    from super_resolution_tpu.ops.pallas import partitioned as pt
+    from super_resolution_tpu.ops.pallas.dense_block_cf_vjp import (
+        dense_block_cf_train,
+    )
+
+    nf, gc, rows, h, w = 8, 4, 8, 16, 128
+    ws, bs, cin = [], [], nf
+    for k in range(5):
+        cout = nf if k == 4 else gc
+        ws.append(jax.random.normal(jax.random.key(500 + k),
+                                    (3, 3, cin, cout), jnp.float32) * 0.1)
+        bs.append(jax.random.normal(jax.random.key(510 + k), (cout,),
+                                    jnp.float32) * 0.1)
+        cin += gc
+    x = jax.random.normal(jax.random.key(21), (2, nf, h, w), jnp.float32)
+    tgt = jax.random.normal(jax.random.key(22), x.shape, jnp.float32)
+
+    def loss_ref(x, ws, bs):
+        y = _ref_dense_block(jnp.transpose(x, (0, 2, 3, 1)), ws, bs)
+        return jnp.sum((jnp.transpose(y, (0, 3, 1, 2)) - tgt) ** 2)
+
+    def loss_ker(x, ws, bs):
+        return jnp.sum((dense_block_cf_train(x, ws, bs, rows, 0.2, 0.2)
+                        - tgt) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, ws, bs)
+
+    calls = []
+    real_cf9 = pt.fused_dense_block_cf9
+
+    def spy(*a, **kw):
+        calls.append(kw.get("save_acts", False))
+        return real_cf9(*a, **kw)
+
+    old = pt.CF9_ENABLED
+    pt.fused_dense_block_cf9 = spy
+    try:
+        pt.CF9_ENABLED = True
+        with pltpu.force_tpu_interpret_mode():
+            gk = jax.grad(loss_ker, argnums=(0, 1, 2))(x, ws, bs)
+    finally:
+        pt.CF9_ENABLED = old
+        pt.fused_dense_block_cf9 = real_cf9
+
+    assert True in calls, "v9 save-acts forward never dispatched"
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_rrdbnet_forward_with_cf9_dispatch_matches_lax():
+    """CF9_ENABLED at model level: an aligned-width (W=128) RRDBNet
+    forward — which takes the flat-chained trunk, so the v9 kernel sees
+    the production flat layout through the real model wiring — must
+    match the lax reference with the same params."""
+    from super_resolution_tpu.ops.pallas import partitioned as pt
+
+    cfg_lax = GeneratorConfig(n_blocks=1, filters=16, growth=8)
+    cfg_pal = GeneratorConfig(n_blocks=1, filters=16, growth=8,
+                              conv_impl="pallas_cf")
+    x = jax.random.normal(jax.random.key(7), (1, 16, 128, 3))
+    v = RRDBNet(cfg_lax).init(jax.random.key(8), x)
+    ref = RRDBNet(cfg_lax).apply(v, x)
+
+    calls = []
+    real_cf9 = pt.fused_dense_block_cf9
+
+    def spy(*a, **kw):
+        calls.append(a[0].shape)
+        return real_cf9(*a, **kw)
+
+    old = pt.CF9_ENABLED
+    pt.fused_dense_block_cf9 = spy
+    try:
+        pt.CF9_ENABLED = True
+        with pltpu.force_tpu_interpret_mode():
+            out = RRDBNet(cfg_pal).apply(v, x)
+    finally:
+        pt.CF9_ENABLED = old
+        pt.fused_dense_block_cf9 = real_cf9
+
+    assert calls, "v9 never dispatched through the model"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)

@@ -34,7 +34,15 @@ def main():
     ap.add_argument("--tile_batch", type=int, default=8)
     ap.add_argument("--conv_impl", default="pallas_cf")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cf9", action="store_true",
+                    help="route aligned-width fused forwards through "
+                         "the dy-extended v9 kernel "
+                         "(ops/pallas/partitioned.CF9_ENABLED)")
     args = ap.parse_args()
+
+    if args.cf9:
+        from super_resolution_tpu.ops.pallas import partitioned
+        partitioned.CF9_ENABLED = True
 
     from super_resolution_tpu.config import GeneratorConfig
     from super_resolution_tpu.models import RRDBNet

@@ -38,7 +38,15 @@ def main():
     ap.add_argument("--dedup", action="store_true",
                     help="cfg.dedup_d_hr: one D(hr) forward per GAN "
                          "step (train/steps._dedup_gan_step)")
+    ap.add_argument("--cf9", action="store_true",
+                    help="route aligned-width fused forwards through "
+                         "the dy-extended v9 kernel "
+                         "(ops/pallas/partitioned.CF9_ENABLED)")
     args = ap.parse_args()
+
+    if args.cf9:
+        from super_resolution_tpu.ops.pallas import partitioned
+        partitioned.CF9_ENABLED = True
 
     import dataclasses
 

@@ -75,7 +75,15 @@ def main():
     ap.add_argument("--tol", type=float, default=0.02,
                     help="max leafwise relative grad diff (bf16 matmul "
                          "floor observed ~0.006 at b16x192²)")
+    ap.add_argument("--cf9", action="store_true",
+                    help="route aligned-width fused forwards through "
+                         "the dy-extended v9 kernel "
+                         "(ops/pallas/partitioned.CF9_ENABLED)")
     args = ap.parse_args()
+
+    if args.cf9:
+        from super_resolution_tpu.ops.pallas import partitioned
+        partitioned.CF9_ENABLED = True
 
     import dataclasses
 
