@@ -72,6 +72,17 @@ from super_resolution_tpu.ops.pallas.dense_block_cf import (
 # Read at trace time — set before the first traced call in a process.
 DMA_IN_ENABLED = True
 
+# Backward band-height lane caps, read at TRACE time by _bwd_rows (set
+# before the first traced call, like DMA_IN_ENABLED).  The aligned cap
+# bounds rows·w under DMA input delivery; 3072 (= rows=8 at the folded
+# W=384 training geometry) is the everywhere-validated size — rows=12
+# measured 7% faster in isolation but overflowed scoped VMEM by 205 KB
+# inside the full train-step jit BEFORE the dfeats split below freed
+# 393 KB (BENCHNOTES round 3).  Raise via tools' --bwd_cap to re-test
+# on-chip.
+BWD_LANE_CAP_ALIGNED = 3072
+BWD_LANE_CAP_UNALIGNED = 2048
+
 # Debug aid: zero every scratch buffer at the top of each grid iteration
 # (interpret mode does this implicitly; hardware VMEM starts as garbage).
 # Diagnoses read-before-write bugs — never enable in production.
@@ -115,13 +126,13 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
                 n_srcs * nb + 1 + n_convs + 1 + 2 * n_convs]
     o_dx, o_dws, o_dbs = outs[0], outs[1:1 + n_convs], outs[1 + n_convs:]
     if flat_io:
-        (feat_ref, dfeat_ref, dz_ref, carry_ref, g_buf,
-         in_sems, dx_sem, g_sem) = refs[-8:]
+        (feat_ref, dfeat_ref, dfa_ref, dz_ref, carry_ref, g_buf,
+         in_sems, dx_sem, g_sem) = refs[-9:]
     elif dma_in:
-        (feat_ref, dfeat_ref, dz_ref, carry_ref,
-         in_sems, dx_sem) = refs[-6:]
+        (feat_ref, dfeat_ref, dfa_ref, dz_ref, carry_ref,
+         in_sems, dx_sem) = refs[-7:]
     else:
-        feat_ref, dfeat_ref, dz_ref = refs[-3:]
+        feat_ref, dfeat_ref, dfa_ref, dz_ref = refs[-4:]
 
     b_idx = pl.program_id(0)
     band_row0 = pl.program_id(1) * rows
@@ -183,9 +194,16 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
                          b_i * rows * width:(b_i + 1) * rows * width] = b[0]
 
     g_band = g_buf[:] if flat_io else g_ref[0]
+    # dfeats is SPLIT to trim VMEM (the fp32 grad scratch is the hog):
+    # dfeat_ref holds the dx channels over the full band; dfa_ref holds
+    # the activation-grad segments, which are only ever touched at lanes
+    # [w, (band_rows-1)·w) — stored at lane offset −w in a buffer two
+    # rows narrower.  Saves (c_total−cin)·2w·4 bytes per band (393 KB at
+    # the folded training geometry — the margin rows=12 was missing).
     dfeat_ref[:] = jnp.zeros_like(dfeat_ref)
+    dfa_ref[:] = jnp.zeros_like(dfa_ref)
     # residual identity: dx central += g
-    dfeat_ref[0:cin, halo * width:(halo + rows) * width] = \
+    dfeat_ref[:, halo * width:(halo + rows) * width] = \
         g_band.astype(jnp.float32)
 
     m_max = (rows + 2 * (halo - 1)) * width
@@ -206,7 +224,9 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
         else:
             sl = slice(cin + growth * k, cin + growth * (k + 1))
             lanes = slice((k + 1) * width, (k + 1) * width + m_out)
-            da = dfeat_ref[sl, lanes]
+            # activation-grad segments live in dfa_ref at lane offset −w
+            da = dfa_ref[growth * k:growth * (k + 1),
+                         k * width:k * width + m_out]
             a = feat_ref[sl, lanes]
             # arithmetic masks only: an i1 select on a value loaded from
             # an unaligned lane offset hits a Mosaic "invalid relayout"
@@ -249,8 +269,13 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
             dpart = jax.lax.dot_general(
                 wdy, dacc, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            dfeat_ref[0:c_in_k, lanes_dy] = \
-                dfeat_ref[0:c_in_k, lanes_dy] + dpart
+            dfeat_ref[:, lanes_dy] = \
+                dfeat_ref[:, lanes_dy] + dpart[0:cin]
+            if k > 0:
+                la = slice((k + dy - 1) * width,
+                           (k + dy - 1) * width + m_out)
+                dfa_ref[0:growth * k, la] = \
+                    dfa_ref[0:growth * k, la] + dpart[cin:c_in_k]
 
     if dma_in:
         # In-kernel overlap-add via the carry: rows [0, 2·halo) of this
@@ -262,13 +287,13 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
         # disjoint chunks → HBM by DMA (a grid-block output would
         # double-buffer another 3.5 MB of VMEM at the folded geometry).
         head = 2 * halo * width
-        dfeat_ref[0:cin, 0:head] = (dfeat_ref[0:cin, 0:head]
-                                    + carry_ref[:].astype(jnp.float32))
+        dfeat_ref[:, 0:head] = (dfeat_ref[:, 0:head]
+                                + carry_ref[:].astype(jnp.float32))
         # the carry lives at x.dtype: an fp32 carry blew scoped VMEM by
         # 357 KB at the folded training geometry, and the kernel's dacc
         # matmul operands are x.dtype already, so this adds no new
         # precision floor
-        carry_ref[:] = dfeat_ref[0:cin,
+        carry_ref[:] = dfeat_ref[:,
                                  rows * width:band_rows * width].astype(
                                      carry_ref.dtype)
         is_last = pl.program_id(1) == pl.num_programs(1) - 1
@@ -295,7 +320,7 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
             cp.start()
             cp.wait()
     else:
-        o_dx[:] = dfeat_ref[0:cin, 0:band_rows * width][None]
+        o_dx[:] = dfeat_ref[:, 0:band_rows * width][None]
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "res_scale", "slope",
@@ -424,7 +449,10 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((c_total, feat_lanes), x.dtype),          # feats
-            pltpu.VMEM((c_total, band_rows * w), jnp.float32),   # dfeats
+            pltpu.VMEM((cin, band_rows * w), jnp.float32),       # dfeats/dx
+            # activation-grad segments: only lanes [w, (band_rows-1)·w)
+            # are ever touched — two rows narrower, lane offset −w
+            pltpu.VMEM((c_total - cin, (band_rows - 2) * w), jnp.float32),
             pltpu.VMEM((3 * max(filters, growth), m_max), x.dtype),  # dacc
         ] + sem_scratch,
         cost_estimate=pl.CostEstimate(
@@ -477,7 +505,8 @@ def _bwd_rows(h: int, w: int, rows_fwd: int) -> int:
         if h % r != 0:
             continue
         aligned = (r * w) % 128 == 0 and ((r + 10) * w) % 128 == 0
-        if r * w <= (3072 if aligned else 2048):
+        if r * w <= (BWD_LANE_CAP_ALIGNED if aligned
+                     else BWD_LANE_CAP_UNALIGNED):
             return r
     return min(rows_fwd, 8)
 

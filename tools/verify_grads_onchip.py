@@ -79,11 +79,18 @@ def main():
                     help="route aligned-width fused forwards through "
                          "the dy-extended v9 kernel "
                          "(ops/pallas/partitioned.CF9_ENABLED)")
+    ap.add_argument("--bwd_cap", type=int, default=None,
+                    help="override dense_block_cf_vjp."
+                         "BWD_LANE_CAP_ALIGNED (e.g. 4608 admits "
+                         "rows=12 at the folded W=384 geometry)")
     args = ap.parse_args()
 
     if args.cf9:
         from super_resolution_tpu.ops.pallas import partitioned
         partitioned.CF9_ENABLED = True
+    if args.bwd_cap is not None:
+        from super_resolution_tpu.ops.pallas import dense_block_cf_vjp
+        dense_block_cf_vjp.BWD_LANE_CAP_ALIGNED = args.bwd_cap
 
     import dataclasses
 
