@@ -494,13 +494,15 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
 def _bwd_rows(h: int, w: int, rows_fwd: int) -> int:
     """The backward bands independently of the forward (it recomputes
     from full-plane residuals) — its fp32 dfeats scratch is the VMEM
-    hog.  Cap rows·w at 2048 lanes under grid-block input delivery; at
-    lane-tile-aligned geometries the DMA delivery frees the staging
-    buffers and the cap rises to 3072 (= rows=8 at the folded W=384
-    training geometry).  rows=12 there measured 7% faster in isolation
-    but overflowed scoped VMEM by 205 KB inside the full train-step jit
-    — the margin is context-dependent, so the cap stays at the
-    everywhere-validated size (BENCHNOTES round 3)."""
+    hog.  Cap rows·w at BWD_LANE_CAP_UNALIGNED lanes under grid-block
+    input delivery; at lane-tile-aligned geometries the DMA delivery
+    frees the staging buffers and the cap rises to BWD_LANE_CAP_ALIGNED
+    (3072 = rows=8 at the folded W=384 training geometry).  rows=12
+    there measured 7% faster in isolation but overflowed scoped VMEM by
+    205 KB inside the full train-step jit — the margin is
+    context-dependent, so the default stays at the everywhere-validated
+    size; the dfeats split (session 3) freed 393 KB, so the rows=12
+    retest (--bwd_cap 4608) is pending on-chip (BENCHNOTES round 3)."""
     for r in (32, 16, 12, 8):
         if h % r != 0:
             continue
