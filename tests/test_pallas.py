@@ -1027,3 +1027,45 @@ def test_rrdbnet_forward_with_cf9_dispatch_matches_lax():
     assert calls, "v9 never dispatched through the model"
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n_convs,nf,gc,h,w,rows", [
+    (4, 8, 4, 16, 128, 8),      # non-default conv count, DMA mode
+    (5, 16, 4, 16, 16, 8),      # unaligned width, block mode
+    (3, 8, 8, 12, 128, 6),      # halo=3, growth==cin
+])
+def test_dense_block_cf_train_grads_general_geometries(n_convs, nf, gc,
+                                                       h, w, rows):
+    """The split dfeats scratch (dx channels full-band, activation-grad
+    segments two rows narrower at lane offset −w) must hold for ANY
+    conv count / channel mix, not just the canonical 5-conv block —
+    grads of an L2 loss vs the lax reference."""
+    from super_resolution_tpu.ops.pallas.dense_block_cf_vjp import (
+        dense_block_cf_train,
+    )
+
+    ws, bs, cin = [], [], nf
+    for k in range(n_convs):
+        cout = nf if k == n_convs - 1 else gc
+        ws.append(jax.random.normal(jax.random.key(600 + k),
+                                    (3, 3, cin, cout), jnp.float32) * 0.1)
+        bs.append(jax.random.normal(jax.random.key(620 + k), (cout,),
+                                    jnp.float32) * 0.1)
+        cin += gc
+    x = jax.random.normal(jax.random.key(23), (2, nf, h, w), jnp.float32)
+    tgt = jax.random.normal(jax.random.key(24), x.shape, jnp.float32)
+
+    def loss_ref(x, ws, bs):
+        y = _ref_dense_block(jnp.transpose(x, (0, 2, 3, 1)), ws, bs)
+        return jnp.sum((jnp.transpose(y, (0, 3, 1, 2)) - tgt) ** 2)
+
+    def loss_ker(x, ws, bs):
+        return jnp.sum((dense_block_cf_train(x, ws, bs, rows, 0.2, 0.2)
+                        - tgt) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, ws, bs)
+    with pltpu.force_tpu_interpret_mode():
+        gk = jax.grad(loss_ker, argnums=(0, 1, 2))(x, ws, bs)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-4)
