@@ -47,6 +47,20 @@ from jax.experimental.pallas import tpu as pltpu
 # fused_dense_block_cf5); flipping it only changes how bands reach VMEM
 DMA_IN_ENABLED = True
 
+# Upward-halo carry (round-3 third session), read at TRACE time: bands
+# after the first splice the previous band's already-computed activation
+# rows (an intra-scratch aligned lane copy — the lane↔row mapping shifts
+# by `rows` per band) and every conv then computes exactly `rows` rows
+# instead of rows + 2·(halo−k−1): the per-band halo recompute disappears
+# for bands > 0 (−31% trunk-fwd FLOPs at the folded rows=8 training
+# geometry, −10% at rows=32 inference tiles).  Bitwise-identical output:
+# the spliced rows are the same matmul results the band would have
+# recomputed.  Gated on DMA delivery, W % 128 == 0 (the splice offsets
+# are multiples of W) and rows ≥ 2·(halo−1) (the carry source must lie
+# inside the previous band's computed span).  Default OFF until the
+# on-chip parity drill (the round-3 overlap-add miscompile lesson).
+FWD_CARRY_ENABLED = False
+
 
 def pack_weights_cf(w_hwio: jnp.ndarray) -> jnp.ndarray:
     """(3, 3, C, F) HWIO → (9F, C): row (dy*3+dx)*F + f, col c."""
@@ -83,7 +97,7 @@ def pack_weights_cf(w_hwio: jnp.ndarray) -> jnp.ndarray:
 
 def _kernel5(*refs, rows, width, n_convs, growth, filters,
              res_scale, slope, h_img, n_in_blocks, cin, save_acts=False,
-             img_w=None, flat_io=False):
+             img_w=None, flat_io=False, fwd_carry=False):
     # ``width`` is the LANE width of a row; ``img_w`` the per-image width.
     # They differ under batch-to-lane folding (g images side by side in
     # lanes so g·img_w % 128 == 0 → every dy-window slice below is
@@ -137,20 +151,32 @@ def _kernel5(*refs, rows, width, n_convs, growth, filters,
     m_max = (rows + 2 * (halo - 1)) * width
     lane_max = jax.lax.broadcasted_iota(jnp.int32, (1, m_max), 1)
     col_max = lane_max % img_w
+    first_band = pl.program_id(1) == 0
 
-    coff = cin
-    for k in range(n_convs):
-        last = k == n_convs - 1
-        cout = filters if last else growth
-        out_rows = rows + 2 * (halo - k - 1)
-        m_out = out_rows * width
-        row0 = band_row0 - (halo - k - 1)
+    if fwd_carry:
+        # Upward-halo carry (FWD_CARRY_ENABLED): the previous band
+        # already computed every activation row this band's top halo
+        # needs, but the scratch's lane↔row mapping shifted by `rows` —
+        # splice them to their new lanes before any conv runs.  Slab
+        # a_{k+1}'s carry is its last 2·(halo−k−1) computed rows
+        # (disjoint from the destination when rows ≥ 2·(halo−1)).
+        @pl.when(jnp.logical_not(first_band))
+        def _splice_carry():
+            for k in range(n_convs - 1):
+                c0 = cin + growth * k
+                nlanes = 2 * (halo - k - 1) * width
+                src = (rows + k + 1) * width
+                dst = (k + 1) * width
+                feat_ref[c0:c0 + growth, dst:dst + nlanes] = \
+                    feat_ref[c0:c0 + growth, src:src + nlanes]
 
+    def _conv(k, coff, cout, last, row0, m_out, in_base):
         # dy taps: three accumulated matmuls over W-aligned lane windows
         acc = None
         for dy in range(3):
             part = feat_ref[0:coff,
-                            (k + dy) * width:(k + dy) * width + m_out]
+                            in_base + dy * width:in_base + dy * width
+                            + m_out]
             wdy = w_refs[k][dy * 3 * cout:(dy + 1) * 3 * cout, 0:coff]
             d = jnp.dot(wdy, part, preferred_element_type=jnp.float32)
             acc = d if acc is None else acc + d          # (3F, m_out)
@@ -171,9 +197,20 @@ def _kernel5(*refs, rows, width, n_convs, growth, filters,
             out = jnp.where(out >= 0, out, slope * out)
         g_row = (lane_max[:, :m_out] // width) + row0
         out = jnp.where((g_row >= 0) & (g_row < h_img), out, 0.0)
-        out = out.astype(dtype)
+        return out.astype(dtype)
+
+    coff = cin
+    for k in range(n_convs):
+        last = k == n_convs - 1
+        cout = filters if last else growth
+        out_rows = rows + 2 * (halo - k - 1)
+        m_out = out_rows * width
+        row0 = band_row0 - (halo - k - 1)
 
         if last:
+            # identical under the carry (halo−k−1 == 0: no shift, and
+            # the a_* input rows it needs are carried+computed)
+            out = _conv(k, coff, cout, True, row0, m_out, k * width)
             x_center = feat_ref[0:cin,
                                 halo * width:(halo + rows) * width]
             y = x_center.astype(jnp.float32) + res_scale * \
@@ -185,7 +222,35 @@ def _kernel5(*refs, rows, width, n_convs, growth, filters,
                     y.astype(feat_ref.dtype)
             else:
                 o_ref[:] = y[None].astype(o_ref.dtype)
+        elif fwd_carry:
+            # band 0 computes the classic full span; later bands only
+            # their own `rows` rows, shifted down by halo−k−1 so the
+            # down-spill seeds the next band's carry
+            @pl.when(first_band)
+            def _full(k=k, coff=coff, cout=cout, row0=row0,
+                      m_out=m_out):
+                o = _conv(k, coff, cout, False, row0, m_out, k * width)
+                feat_ref[coff:coff + cout,
+                         (k + 1) * width:(k + 1) * width + m_out] = o
+
+            @pl.when(jnp.logical_not(first_band))
+            def _short(k=k, coff=coff, cout=cout):
+                o = _conv(k, coff, cout, False,
+                          band_row0 + (halo - k - 1), rows * width,
+                          (2 * halo - k - 2) * width)
+                feat_ref[coff:coff + cout,
+                         (2 * halo - k - 1) * width:
+                         (2 * halo - k - 1) * width + rows * width] = o
+
+            if save_acts and not flat_io:
+                # central rows live in the scratch either way (spliced
+                # carry + fresh store)
+                act_refs[k][:] = feat_ref[
+                    coff:coff + cout,
+                    halo * width:(halo + rows) * width][None]
+            coff += cout
         else:
+            out = _conv(k, coff, cout, False, row0, m_out, k * width)
             feat_ref[coff:coff + cout,
                      (k + 1) * width:(k + 1 + out_rows) * width] = out
             if save_acts and not flat_io:
@@ -332,12 +397,18 @@ def fused_dense_block_cf5(x: jnp.ndarray,
     dma_in = (DMA_IN_ENABLED and (band_rows * w) % 128 == 0
               and (rows * w) % 128 == 0)
     assert dma_in or not flat_io, (rows, w)
+    # upward-halo carry: needs DMA delivery, lane-tile-aligned splice
+    # offsets (multiples of w with w % 128 == 0) and a carry source
+    # inside the previous band's computed span (rows ≥ 2·(halo−1))
+    fwd_carry = (FWD_CARRY_ENABLED and dma_in and w % 128 == 0
+                 and rows >= 2 * (halo - 1))
 
     kern = functools.partial(
         _kernel5, rows=rows, width=w, n_convs=n_convs,
         growth=growth, filters=filters, res_scale=res_scale, slope=slope,
         h_img=h, n_in_blocks=0 if dma_in else n_in_blocks, cin=cin,
-        save_acts=save_acts, img_w=img_w, flat_io=flat_io)
+        save_acts=save_acts, img_w=img_w, flat_io=flat_io,
+        fwd_carry=fwd_carry)
 
     in_block = lambda off: pl.BlockSpec(                      # noqa: E731
         (1, cin, rows * w), lambda b, i, o=off: (b, 0, i + o),

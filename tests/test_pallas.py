@@ -1069,3 +1069,52 @@ def test_dense_block_cf_train_grads_general_geometries(n_convs, nf, gc,
     for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("save_acts", [False, True])
+@pytest.mark.parametrize("geom", [
+    (24, 128, 8, 2, None, False),     # aligned width, 3 bands (steady)
+    (16, 384, 8, 2, 48, False),       # batch-to-lane folded (training)
+    (8, 128, 8, 1, None, False),      # single band (no carry runs)
+    (24, 128, 8, 2, None, True),      # flat padded chaining
+])
+def test_fwd_carry_matches_classic(save_acts, geom):
+    """FWD_CARRY_ENABLED (upward-halo carry): bands after the first
+    splice the previous band's activation rows instead of recomputing
+    them — the output must be EXACTLY the classic kernel's on every
+    production geometry (the spliced rows are the same matmul
+    results)."""
+    from super_resolution_tpu.ops.pallas import dense_block_cf as mod
+
+    h, w, rows, batch, img_w, flat = geom
+    nf, gc, halo = 8, 4, 5
+    ws, bs, cin = [], [], nf
+    for k in range(5):
+        cout = nf if k == 4 else gc
+        ws.append(jax.random.normal(jax.random.key(700 + k),
+                                    (3, 3, cin, cout), jnp.float32) * 0.1)
+        bs.append(jax.random.normal(jax.random.key(720 + k), (cout,),
+                                    jnp.float32) * 0.1)
+        cin += gc
+    x = jax.random.normal(jax.random.key(25), (batch, nf, h, w),
+                          jnp.float32)
+    if flat:
+        x = jnp.pad(x, ((0, 0), (0, 0), (halo, halo), (0, 0))) \
+            .reshape(batch, nf, -1)
+    kw = dict(rows=rows, save_acts=save_acts, img_w=img_w,
+              flat_h=h if flat else None)
+
+    old = mod.FWD_CARRY_ENABLED
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            mod.FWD_CARRY_ENABLED = False
+            ref = mod.fused_dense_block_cf5(x, ws, bs, **kw)
+            mod.FWD_CARRY_ENABLED = True
+            got = mod.fused_dense_block_cf5(x, ws, bs, **kw)
+    finally:
+        mod.FWD_CARRY_ENABLED = old
+
+    ra = (list(ref[1]) + [ref[0]]) if save_acts else [ref]
+    ga = (list(got[1]) + [got[0]]) if save_acts else [got]
+    for a, b in zip(ga, ra):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
