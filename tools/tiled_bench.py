@@ -38,7 +38,13 @@ def main():
                     help="route aligned-width fused forwards through "
                          "the dy-extended v9 kernel "
                          "(ops/pallas/partitioned.CF9_ENABLED)")
+    ap.add_argument("--fwd_carry", action="store_true",
+                    help="enable the fused forward's upward-halo carry "
+                         "(ops/pallas/dense_block_cf.FWD_CARRY_ENABLED)")
     args = ap.parse_args()
+    if args.fwd_carry:
+        from super_resolution_tpu.ops.pallas import dense_block_cf
+        dense_block_cf.FWD_CARRY_ENABLED = True
 
     if args.cf9:
         from super_resolution_tpu.ops.pallas import partitioned

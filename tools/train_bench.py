@@ -46,7 +46,13 @@ def main():
                     help="override dense_block_cf_vjp."
                          "BWD_LANE_CAP_ALIGNED (e.g. 4608 admits "
                          "rows=12 at the folded W=384 geometry)")
+    ap.add_argument("--fwd_carry", action="store_true",
+                    help="enable the fused forward's upward-halo carry "
+                         "(ops/pallas/dense_block_cf.FWD_CARRY_ENABLED)")
     args = ap.parse_args()
+    if args.fwd_carry:
+        from super_resolution_tpu.ops.pallas import dense_block_cf
+        dense_block_cf.FWD_CARRY_ENABLED = True
 
     if args.cf9:
         from super_resolution_tpu.ops.pallas import partitioned
