@@ -84,7 +84,7 @@ def _ext_off(seg: int, dy: int, cin: int, growth: int) -> int:
 
 def _kernel9(*refs, rows, width, n_convs, growth, filters,
              res_scale, slope, h_img, cin, save_acts=False,
-             img_w=None, flat_io=False):
+             img_w=None, flat_io=False, fwd_carry=False):
     # See dense_block_cf._kernel5 for the shared geometry notes
     # (folding/img_w, flat chaining, row masks).  Differences: the
     # feature scratch is dy-extended (3 pre-shifted copies per segment),
@@ -138,16 +138,27 @@ def _kernel9(*refs, rows, width, n_convs, growth, filters,
     m_largest = (rows + 2 * (halo - 1)) * width
     lane_max = jax.lax.broadcasted_iota(jnp.int32, (1, m_largest), 1)
     col_max = lane_max % img_w
+    first_band = pl.program_id(1) == 0
 
-    for k in range(n_convs):
-        last = k == n_convs - 1
-        cout = filters if last else growth
-        coff = cin + growth * k
-        out_rows = rows + 2 * (halo - k - 1)
-        m_out = out_rows * width
-        row0 = band_row0 - (halo - k - 1)
-        w0 = (k + 1) * width
+    if fwd_carry:
+        # Upward-halo carry (dense_block_cf.FWD_CARRY_ENABLED; see the
+        # v5 kernel for the scheme): splice the previous band's computed
+        # rows to their new lanes — in v9 every activation segment has
+        # THREE pre-shifted slabs, so the splice runs per (segment, dy);
+        # the lane shift between frames is rows·W in every slab.
+        @pl.when(jnp.logical_not(first_band))
+        def _splice_carry():
+            for k in range(n_convs - 1):
+                nlanes = 2 * (halo - k - 1) * width
+                for dy in range(3):
+                    c0 = off(k + 1, dy)
+                    dst = (k + 2 - dy) * width
+                    ext_ref[c0:c0 + growth, dst:dst + nlanes] = \
+                        ext_ref[c0:c0 + growth,
+                                dst + rows * width:
+                                dst + rows * width + nlanes]
 
+    def _conv(k, coff, cout, last, row0, m_out, w0):
         # ONE matmul: the dy taps are pre-shifted into the extended
         # operand's sublanes, K = 3·coff
         acc = jnp.dot(w_refs[k][:, 0:3 * coff],
@@ -166,9 +177,28 @@ def _kernel9(*refs, rows, width, n_convs, growth, filters,
             out = jnp.where(out >= 0, out, slope * out)
         g_row = (lane_max[:, :m_out] // width) + row0
         out = jnp.where((g_row >= 0) & (g_row < h_img), out, 0.0)
-        out = out.astype(dtype)
+        return out.astype(dtype)
+
+    def _store(k, cout, out, m_out, out_row0):
+        # triple-write: slab dy holds the activation pre-shifted by
+        # (dy−1)·W, i.e. stored at lane (out_row0+1−dy)·W
+        for dy in range(3):
+            c0 = off(k + 1, dy)
+            d0 = (out_row0 + 1 - dy) * width
+            ext_ref[c0:c0 + cout, d0:d0 + m_out] = out
+
+    for k in range(n_convs):
+        last = k == n_convs - 1
+        cout = filters if last else growth
+        coff = cin + growth * k
+        out_rows = rows + 2 * (halo - k - 1)
+        m_out = out_rows * width
+        row0 = band_row0 - (halo - k - 1)
 
         if last:
+            # identical under the carry (halo−k−1 == 0: no shift)
+            out = _conv(k, coff, cout, True, row0, m_out,
+                        (k + 1) * width)
             c1 = off(0, 1)
             x_center = ext_ref[c1:c1 + cin,
                                halo * width:(halo + rows) * width]
@@ -182,13 +212,30 @@ def _kernel9(*refs, rows, width, n_convs, growth, filters,
                     y.astype(ext_ref.dtype)
             else:
                 o_ref[:] = y[None].astype(o_ref.dtype)
+        elif fwd_carry:
+            @pl.when(first_band)
+            def _full(k=k, coff=coff, cout=cout, row0=row0,
+                      m_out=m_out):
+                o = _conv(k, coff, cout, False, row0, m_out,
+                          (k + 1) * width)
+                _store(k, cout, o, m_out, k + 1)
+
+            @pl.when(jnp.logical_not(first_band))
+            def _short(k=k, coff=coff, cout=cout):
+                o = _conv(k, coff, cout, False,
+                          band_row0 + (halo - k - 1), rows * width,
+                          (2 * halo - k - 1) * width)
+                _store(k, cout, o, rows * width, 2 * halo - k - 1)
+
+            if save_acts and not flat_io:
+                c1 = off(k + 1, 1)
+                act_refs[k][:] = ext_ref[
+                    c1:c1 + cout,
+                    halo * width:(halo + rows) * width][None]
         else:
-            # triple-write: slab dy holds the activation pre-shifted by
-            # (dy−1)·W, i.e. stored at window (k+2−dy)·W
-            for dy in range(3):
-                c0 = off(k + 1, dy)
-                d0 = (k + 2 - dy) * width
-                ext_ref[c0:c0 + cout, d0:d0 + m_out] = out
+            out = _conv(k, coff, cout, False, row0, m_out,
+                        (k + 1) * width)
+            _store(k, cout, out, m_out, k + 1)
             if save_acts and not flat_io:
                 s0 = (halo - (k + 1)) * width
                 act_refs[k][:] = out[:, s0:s0 + rows * width][None]
@@ -300,11 +347,17 @@ def fused_dense_block_cf9(x: jnp.ndarray,
     b2 = [bk.reshape(1, -1).astype(jnp.float32) for bk in biases]
 
     band_rows = rows + 2 * halo
+    # upward-halo carry: same trace-time knob as v5
+    # (dense_block_cf.FWD_CARRY_ENABLED); ext_ok already guarantees the
+    # splice alignment, so only the carry-source gate remains
+    from super_resolution_tpu.ops.pallas import dense_block_cf as _cf
+
+    fwd_carry = (_cf.FWD_CARRY_ENABLED and rows >= 2 * (halo - 1))
     kern = functools.partial(
         _kernel9, rows=rows, width=w, n_convs=n_convs,
         growth=growth, filters=filters, res_scale=res_scale, slope=slope,
         h_img=h, cin=cin, save_acts=save_acts, img_w=img_w,
-        flat_io=flat_io)
+        flat_io=flat_io, fwd_carry=fwd_carry)
 
     flops = 2 * batch * h * w * sum(9 * wk.shape[2] * wk.shape[3]
                                     for wk in weights)

@@ -1118,3 +1118,52 @@ def test_fwd_carry_matches_classic(save_acts, geom):
     ga = (list(got[1]) + [got[0]]) if save_acts else [got]
     for a, b in zip(ga, ra):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("save_acts", [False, True])
+@pytest.mark.parametrize("geom", [
+    (24, 128, 8, 2, None, False),     # aligned width, 3 bands (steady)
+    (16, 384, 8, 2, 48, False),       # batch-to-lane folded (training)
+    (24, 128, 8, 2, None, True),      # flat padded chaining
+])
+def test_fwd_carry_v9_matches_classic(save_acts, geom):
+    """The upward-halo carry ported to the dy-extended v9 kernel (the
+    splice runs per (segment, dy) slab): output must EXACTLY equal the
+    classic v9 kernel on every production geometry."""
+    from super_resolution_tpu.ops.pallas import dense_block_cf as cf
+    from super_resolution_tpu.ops.pallas.dense_block_cf_ext import (
+        fused_dense_block_cf9,
+    )
+
+    h, w, rows, batch, img_w, flat = geom
+    nf, gc, halo = 8, 4, 5
+    ws, bs, cin = [], [], nf
+    for k in range(5):
+        cout = nf if k == 4 else gc
+        ws.append(jax.random.normal(jax.random.key(800 + k),
+                                    (3, 3, cin, cout), jnp.float32) * 0.1)
+        bs.append(jax.random.normal(jax.random.key(820 + k), (cout,),
+                                    jnp.float32) * 0.1)
+        cin += gc
+    x = jax.random.normal(jax.random.key(27), (batch, nf, h, w),
+                          jnp.float32)
+    if flat:
+        x = jnp.pad(x, ((0, 0), (0, 0), (halo, halo), (0, 0))) \
+            .reshape(batch, nf, -1)
+    kw = dict(rows=rows, save_acts=save_acts, img_w=img_w,
+              flat_h=h if flat else None)
+
+    old = cf.FWD_CARRY_ENABLED
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            cf.FWD_CARRY_ENABLED = False
+            ref = fused_dense_block_cf9(x, ws, bs, **kw)
+            cf.FWD_CARRY_ENABLED = True
+            got = fused_dense_block_cf9(x, ws, bs, **kw)
+    finally:
+        cf.FWD_CARRY_ENABLED = old
+
+    ra = (list(ref[1]) + [ref[0]]) if save_acts else [ref]
+    ga = (list(got[1]) + [got[0]]) if save_acts else [got]
+    for a, b in zip(ga, ra):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
