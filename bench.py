@@ -49,11 +49,13 @@ def main() -> int:
     import threading
 
     def _die():
-        print("[bench] TPU backend did not initialize within 20 min — "
+        print("[bench] TPU backend did not initialize within 40 min — "
               "tunnel outage; aborting without a result", file=sys.stderr)
         os._exit(1)
 
-    wd = threading.Timer(1200, _die)
+    # 40 min: the observed wedge recovers in 10–25 min, so waiting
+    # through one recovery window can save the round's headline number
+    wd = threading.Timer(2400, _die)
     wd.daemon = True
     wd.start()
     dev = jax.devices()[0]
