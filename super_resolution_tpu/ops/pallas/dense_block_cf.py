@@ -53,9 +53,12 @@ DMA_IN_ENABLED = True
 # by `rows` per band) and every conv then computes exactly `rows` rows
 # instead of rows + 2·(halo−k−1): the per-band halo recompute disappears
 # for bands > 0 (−31% trunk-fwd FLOPs at the folded rows=8 training
-# geometry, −10% at rows=32 inference tiles).  Bitwise-identical output:
-# the spliced rows are the same matmul results the band would have
-# recomputed.  Gated on DMA delivery, W % 128 == 0 (the splice offsets
+# geometry, −10% at rows=32 inference tiles).  The spliced rows are the
+# same matmul results the band would have recomputed; the fresh rows
+# come from narrower matmuls, which match the classic kernel to ~1 fp32
+# ULP (bitwise at W = 128, 1-ULP interpret-mode accumulation variance
+# at the folded W = 384).  Gated on DMA delivery, W % 128 == 0 (the
+# splice offsets
 # are multiples of W) and rows ≥ 2·(halo−1) (the carry source must lie
 # inside the previous band's computed span).  Default OFF until the
 # on-chip parity drill (the round-3 overlap-add miscompile lesson).

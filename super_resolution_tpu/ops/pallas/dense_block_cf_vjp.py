@@ -50,6 +50,12 @@ blocks (zeroed on the first grid step — the standard Pallas accumulation
 pattern).  The backward bands independently of the forward (it
 recomputes everything from the saved full-plane residuals), so it picks
 its own VMEM-safe ``rows``.
+
+``BWD_CARRY_ENABLED`` (see the knob comment) additionally removes the
+per-band halo *recompute*: each band then processes exactly ``rows``
+completed cotangent rows per conv instead of rows + 2·(halo−k−1),
+carrying the unfinished activation-grad tails between bands — the
+backward twin of the forward's upward-halo carry.
 """
 
 from __future__ import annotations
@@ -83,10 +89,43 @@ DMA_IN_ENABLED = True
 BWD_LANE_CAP_ALIGNED = 3072
 BWD_LANE_CAP_UNALIGNED = 2048
 
+# Backward halo-recompute carry (round-3 fourth session), read at TRACE
+# time.  The classic backward processes, per band, a cotangent window of
+# rows + 2·(halo−k−1) rows for conv k — ~29% extra matmul FLOPs on the
+# early convs at the folded rows=8 training geometry (the ROADMAP item-1
+# halo recompute).  With the carry, every band processes exactly `rows`
+# COMPLETED cotangent rows per conv (same window start, 2·(halo−k−1)
+# rows shorter): the incomplete activation-grad tails (halo−k rows per
+# segment) and the dx tail (halo+1 rows instead of 2·halo) ride VMEM
+# carries to the next band, and the last band sweeps the leftover
+# (halo−k−1)-row tail window per conv.  This is the exact adjoint of the
+# forward's upward-halo carry (dense_block_cf.FWD_CARRY_ENABLED): a row
+# of dout_k is complete once every band whose central cotangent reaches
+# it has contributed, which under the sequential band grid is one band
+# after the row's own — so conv k's processing lags by halo−k−1 rows,
+# the same skew the forward runs forward.  Gated on DMA delivery,
+# W % 128 == 0 (all carry offsets are multiples of W) and
+# rows ≥ halo (the stash windows must fit above the next band's reads).
+# Default OFF until tools/verify_grads_onchip.py --bwd_carry passes on
+# real hardware (the round-3 overlap-add miscompile lesson).
+BWD_CARRY_ENABLED = False
+
 # Debug aid: zero every scratch buffer at the top of each grid iteration
 # (interpret mode does this implicitly; hardware VMEM starts as garbage).
 # Diagnoses read-before-write bugs — never enable in production.
 DEBUG_INIT_SCRATCH = False
+
+
+def bwd_carry_active(w: int, rows: int, n_convs: int = 5) -> bool:
+    """Whether the halo-recompute carry engages at this geometry — the
+    exact trace-time gate fused_dense_block_cf5_bwd applies (single
+    source of truth; the test suite uses it to prove the carry path is
+    really the one being compared, not a silent classic fallback)."""
+    band_rows = rows + 2 * n_convs
+    dma_in = (DMA_IN_ENABLED and (band_rows * w) % 128 == 0
+              and (rows * w) % 128 == 0)
+    return (BWD_CARRY_ENABLED and dma_in and w % 128 == 0
+            and rows >= n_convs)
 
 
 def unpack_weight_grad(dw9: jnp.ndarray) -> jnp.ndarray:
@@ -99,7 +138,7 @@ def unpack_weight_grad(dw9: jnp.ndarray) -> jnp.ndarray:
 
 def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
                  res_scale, slope, h_img, cin, img_w=None,
-                 n_in_blocks=0, flat_io=False):
+                 n_in_blocks=0, flat_io=False, bwd_carry=False):
     # width = lane width of a row; img_w = per-image width under
     # batch-to-lane folding (dense_block_cf._kernel5 docstring) — the dx
     # edge masks apply per image, all dy-window offsets j·width become
@@ -126,11 +165,19 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
                 n_srcs * nb + 1 + n_convs + 1 + 2 * n_convs]
     o_dx, o_dws, o_dbs = outs[0], outs[1:1 + n_convs], outs[1 + n_convs:]
     if flat_io:
-        (feat_ref, dfeat_ref, dfa_ref, dz_ref, carry_ref, g_buf,
-         in_sems, dx_sem, g_sem) = refs[-9:]
+        if bwd_carry:
+            (feat_ref, dfeat_ref, dfa_ref, dz_ref, carry_ref, carry_fa,
+             g_buf, in_sems, dx_sem, g_sem) = refs[-10:]
+        else:
+            (feat_ref, dfeat_ref, dfa_ref, dz_ref, carry_ref, g_buf,
+             in_sems, dx_sem, g_sem) = refs[-9:]
     elif dma_in:
-        (feat_ref, dfeat_ref, dfa_ref, dz_ref, carry_ref,
-         in_sems, dx_sem) = refs[-7:]
+        if bwd_carry:
+            (feat_ref, dfeat_ref, dfa_ref, dz_ref, carry_ref, carry_fa,
+             in_sems, dx_sem) = refs[-8:]
+        else:
+            (feat_ref, dfeat_ref, dfa_ref, dz_ref, carry_ref,
+             in_sems, dx_sem) = refs[-7:]
     else:
         feat_ref, dfeat_ref, dfa_ref, dz_ref = refs[-4:]
 
@@ -150,6 +197,8 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
         @pl.when(pl.program_id(1) == 0)
         def _zero_carry():
             carry_ref[:] = jnp.zeros_like(carry_ref)
+            if bwd_carry:
+                carry_fa[:] = jnp.zeros_like(carry_fa)
 
     if DEBUG_INIT_SCRATCH:
         feat_ref[:] = jnp.zeros_like(feat_ref)
@@ -206,27 +255,44 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
     dfeat_ref[:, halo * width:(halo + rows) * width] = \
         g_band.astype(jnp.float32)
 
-    m_max = (rows + 2 * (halo - 1)) * width
-    lane_max = jax.lax.broadcasted_iota(jnp.int32, (1, m_max), 1)
-    col_max = lane_max % img_w
+    if bwd_carry:
+        # splice the carried activation-grad tails: segment k's tail —
+        # rows [band_row0 − (halo−k−1), band_row0 + 1), the partial
+        # sums the previous band's convs spilled below its windows —
+        # lands at dfa lanes [k·W, halo·W) of THIS band (plain store:
+        # dfa_ref was just zeroed; this band's convs accumulate on top)
+        for k in range(n_convs - 1):
+            c0 = growth * k
+            dfa_ref[c0:c0 + growth, k * width:halo * width] = \
+                carry_fa[c0:c0 + growth, 0:(halo - k) * width]
 
-    for k in range(n_convs - 1, -1, -1):
+    m_iota = (rows if bwd_carry else rows + 2 * (halo - 1)) * width
+    lane_max = jax.lax.broadcasted_iota(jnp.int32, (1, m_iota), 1)
+    col_max = lane_max % img_w
+    is_last_band = pl.program_id(1) == pl.num_programs(1) - 1
+
+    def _win(k, base, m_out):
+        # One cotangent window of conv k: dout rows
+        # [band_row0 − (halo−k−1) + (base−k), … + m_out/width).  The
+        # classic backward calls it once per conv with base = k and the
+        # full rows + 2·(halo−k−1) extent; under the carry every band
+        # calls it with the `rows`-row completed window (base = k) and
+        # the last band once more with the (halo−k−1)-row leftover tail
+        # (base = rows + k).  Every lane offset is (base+const)·W.
         last = k == n_convs - 1
         cout = filters if last else growth
-        out_rows = rows + 2 * (halo - k - 1)
-        m_out = out_rows * width
         c_in_k = cin + growth * k
-        row0 = band_row0 - (halo - k - 1)
+        row0 = band_row0 - (halo - k - 1) + (base - k)
         col = col_max[:, :m_out]
 
         if last:
             dout = g_band.astype(jnp.float32) * res_scale    # (F, rows·W)
         else:
             sl = slice(cin + growth * k, cin + growth * (k + 1))
-            lanes = slice((k + 1) * width, (k + 1) * width + m_out)
+            lanes = slice((base + 1) * width, (base + 1) * width + m_out)
             # activation-grad segments live in dfa_ref at lane offset −w
             da = dfa_ref[growth * k:growth * (k + 1),
-                         k * width:k * width + m_out]
+                         base * width:base * width + m_out]
             a = feat_ref[sl, lanes]
             # arithmetic masks only: an i1 select on a value loaded from
             # an unaligned lane offset hits a Mosaic "invalid relayout"
@@ -257,7 +323,8 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
         dacc = dz_ref[0:3 * cout, 0:m_out]
 
         for dy in range(3):
-            lanes_dy = slice((k + dy) * width, (k + dy) * width + m_out)
+            lanes_dy = slice((base + dy) * width,
+                             (base + dy) * width + m_out)
             part = feat_ref[0:c_in_k, lanes_dy]
             # dW_dy: contract the pixel axis (K = m_out, MXU-deep)
             o_dws[k][dy * 3 * cout:(dy + 1) * 3 * cout, 0:c_in_k] += \
@@ -272,21 +339,38 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
             dfeat_ref[:, lanes_dy] = \
                 dfeat_ref[:, lanes_dy] + dpart[0:cin]
             if k > 0:
-                la = slice((k + dy - 1) * width,
-                           (k + dy - 1) * width + m_out)
+                la = slice((base + dy - 1) * width,
+                           (base + dy - 1) * width + m_out)
                 dfa_ref[0:growth * k, la] = \
                     dfa_ref[0:growth * k, la] + dpart[cin:c_in_k]
 
+    for k in range(n_convs - 1, -1, -1):
+        lag = halo - k - 1
+        if not bwd_carry:
+            _win(k, k, (rows + 2 * lag) * width)
+            continue
+        _win(k, k, rows * width)
+        if lag > 0:
+            # leftover tail: rows [h − lag, h) are nobody's completed
+            # window (there is no band after the last to finish them),
+            # so the last band sweeps them — interleaved in the same
+            # reverse-k order, so segment reads below stay complete
+            @pl.when(is_last_band)
+            def _tail(k=k, lag=lag):
+                _win(k, rows + k, lag * width)
+
     if dma_in:
-        # In-kernel overlap-add via the carry: rows [0, 2·halo) of this
-        # band coincide with rows [rows, band_rows) of the previous one
-        # (bands advance by `rows`), so adding the stashed tail makes
-        # this band's first `rows` rows FINAL.  The tail — which already
-        # includes contributions carried from up to ⌈halo/rows⌉ earlier
-        # bands, transitively — becomes the next carry.  Outputs are
-        # disjoint chunks → HBM by DMA (a grid-block output would
-        # double-buffer another 3.5 MB of VMEM at the folded geometry).
-        head = 2 * halo * width
+        # In-kernel overlap-add via the carry: the head rows of this
+        # band's dfeat coincide with the unfinished tail of the previous
+        # one (bands advance by `rows`), so adding the stashed tail
+        # makes this band's first `rows` rows FINAL.  Classic: head =
+        # 2·halo rows (each band writes a full ±halo-widened window).
+        # bwd_carry: head = halo+1 rows — conv k's completed window only
+        # spills halo−k−1+1 rows down, so the unfinished tail is rows
+        # [band_end − halo, band_end + 1).  Outputs are disjoint
+        # chunks → HBM by DMA (a grid-block output would double-buffer
+        # another 3.5 MB of VMEM at the folded geometry).
+        head = ((halo + 1) if bwd_carry else 2 * halo) * width
         dfeat_ref[:, 0:head] = (dfeat_ref[:, 0:head]
                                 + carry_ref[:].astype(jnp.float32))
         # the carry lives at x.dtype: an fp32 carry blew scoped VMEM by
@@ -294,9 +378,19 @@ def _kernel5_bwd(*refs, rows, width, n_convs, growth, filters,
         # matmul operands are x.dtype already, so this adds no new
         # precision floor
         carry_ref[:] = dfeat_ref[:,
-                                 rows * width:band_rows * width].astype(
+                                 rows * width:rows * width + head].astype(
                                      carry_ref.dtype)
-        is_last = pl.program_id(1) == pl.num_programs(1) - 1
+        if bwd_carry:
+            # stash the activation-grad tails for the next band: segment
+            # k's incomplete rows [band_end − (halo−k−1), band_end + 1)
+            # sit at dfa lanes [(rows+k)·W, (rows+halo)·W) — fp32, these
+            # are partial sums still being accumulated
+            for k in range(n_convs - 1):
+                c0 = growth * k
+                carry_fa[c0:c0 + growth, 0:(halo - k) * width] = \
+                    dfa_ref[c0:c0 + growth,
+                            (rows + k) * width:(rows + halo) * width]
+        is_last = is_last_band
 
         @pl.when(jnp.logical_not(is_last))
         def _write_chunk():
@@ -374,12 +468,18 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
     dma_in = (DMA_IN_ENABLED and (band_rows * w) % 128 == 0
               and (rows * w) % 128 == 0)
     assert dma_in or not flat_io, (rows, w)
+    # halo-recompute carry: every carry offset is a multiple of W
+    # (aligned only when W % 128 == 0) and the stash windows sit above
+    # the next band's reads only when rows ≥ halo
+    bwd_carry = bwd_carry_active(w, rows, n_convs)
+    assert not bwd_carry or dma_in
 
     kern = functools.partial(
         _kernel5_bwd, rows=rows, width=w, n_convs=n_convs, growth=growth,
         filters=filters, res_scale=res_scale, slope=slope, h_img=h,
         cin=cin, img_w=img_w,
-        n_in_blocks=0 if dma_in else n_in_blocks, flat_io=flat_io)
+        n_in_blocks=0 if dma_in else n_in_blocks, flat_io=flat_io,
+        bwd_carry=bwd_carry)
 
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
     if dma_in:
@@ -388,9 +488,15 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
         dx_spec = pl.BlockSpec(memory_space=pltpu.HBM)
         feat_lanes = band_rows * w
         dx_lanes = (h + 2 * halo) * w          # in-kernel overlap-add
+        carry_lanes = ((halo + 1) if bwd_carry else 2 * halo) * w
         sem_scratch = [
-            pltpu.VMEM((cin, 2 * halo * w), x.dtype),       # carry
+            pltpu.VMEM((cin, carry_lanes), x.dtype),        # dx carry
         ]
+        if bwd_carry:
+            # activation-grad tail carry: segment k uses lanes
+            # [0, (halo−k)·W) — fp32 partial sums
+            sem_scratch.append(
+                pltpu.VMEM((c_total - cin, halo * w), jnp.float32))
         if flat_io:
             sem_scratch.append(
                 pltpu.VMEM((filters, rows * w), g.dtype))   # g band
@@ -438,7 +544,12 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
         out_shapes.append(jax.ShapeDtypeStruct((1, cout), jnp.float32))
         out_specs.append(const)
 
-    m_max = (rows + 2 * (halo - 1)) * w
+    # widest window: the completed `rows`-row window under the carry
+    # (tails are at most (halo−1)·W ≤ rows·W), the classic
+    # rows + 2·(halo−1) span otherwise; the dfa scratch shrinks with it
+    # (carry-mode accesses stop at lane (rows+halo)·W)
+    m_max = (rows if bwd_carry else rows + 2 * (halo - 1)) * w
+    dfa_lanes = ((rows + halo) if bwd_carry else band_rows - 2) * w
     flops = 2 * 2 * batch * h * w * sum(9 * wk.shape[2] * wk.shape[3]
                                         for wk in weights)
     res = pl.pallas_call(
@@ -452,7 +563,7 @@ def fused_dense_block_cf5_bwd(x, acts, weights, g, *, rows: int,
             pltpu.VMEM((cin, band_rows * w), jnp.float32),       # dfeats/dx
             # activation-grad segments: only lanes [w, (band_rows-1)·w)
             # are ever touched — two rows narrower, lane offset −w
-            pltpu.VMEM((c_total - cin, (band_rows - 2) * w), jnp.float32),
+            pltpu.VMEM((c_total - cin, dfa_lanes), jnp.float32),
             pltpu.VMEM((3 * max(filters, growth), m_max), x.dtype),  # dacc
         ] + sem_scratch,
         cost_estimate=pl.CostEstimate(

@@ -49,7 +49,20 @@ def main():
     ap.add_argument("--variants", default="lax,kernel,kernel_fold")
     ap.add_argument("--rows", type=int, default=0,
                     help="override band rows (0 = auto)")
+    ap.add_argument("--bwd_cap", type=int, default=None,
+                    help="override dense_block_cf_vjp."
+                         "BWD_LANE_CAP_ALIGNED")
+    ap.add_argument("--bwd_carry", action="store_true",
+                    help="enable the Mosaic backward's halo-recompute "
+                         "carry (ops/pallas/dense_block_cf_vjp."
+                         "BWD_CARRY_ENABLED)")
     args = ap.parse_args()
+    if args.bwd_cap is not None or args.bwd_carry:
+        from super_resolution_tpu.ops.pallas import dense_block_cf_vjp as v
+        if args.bwd_cap is not None:
+            v.BWD_LANE_CAP_ALIGNED = args.bwd_cap
+        if args.bwd_carry:
+            v.BWD_CARRY_ENABLED = True
 
     from super_resolution_tpu.models.rrdb import _fold_factor, _pick_rows
     from super_resolution_tpu.ops.pallas.dense_block_cf_vjp import (

@@ -49,10 +49,17 @@ def main():
     ap.add_argument("--fwd_carry", action="store_true",
                     help="enable the fused forward's upward-halo carry "
                          "(ops/pallas/dense_block_cf.FWD_CARRY_ENABLED)")
+    ap.add_argument("--bwd_carry", action="store_true",
+                    help="enable the Mosaic backward's halo-recompute "
+                         "carry (ops/pallas/dense_block_cf_vjp."
+                         "BWD_CARRY_ENABLED)")
     args = ap.parse_args()
     if args.fwd_carry:
         from super_resolution_tpu.ops.pallas import dense_block_cf
         dense_block_cf.FWD_CARRY_ENABLED = True
+    if args.bwd_carry:
+        from super_resolution_tpu.ops.pallas import dense_block_cf_vjp as v
+        v.BWD_CARRY_ENABLED = True
 
     if args.cf9:
         from super_resolution_tpu.ops.pallas import partitioned
