@@ -54,7 +54,33 @@ def main():
     ap.add_argument("--impl", default="lax")
     ap.add_argument("--trace", default=None)
     ap.add_argument("--trace_steps", type=int, default=10)
+    ap.add_argument("--cf9", action="store_true",
+                    help="route aligned-width fused forwards through "
+                         "the dy-extended v9 kernel "
+                         "(ops/pallas/partitioned.CF9_ENABLED)")
+    ap.add_argument("--bwd_cap", type=int, default=None,
+                    help="override dense_block_cf_vjp."
+                         "BWD_LANE_CAP_ALIGNED")
+    ap.add_argument("--fwd_carry", action="store_true",
+                    help="enable the fused forward's upward-halo carry "
+                         "(ops/pallas/dense_block_cf.FWD_CARRY_ENABLED)")
+    ap.add_argument("--bwd_carry", action="store_true",
+                    help="enable the Mosaic backward's halo-recompute "
+                         "carry (ops/pallas/dense_block_cf_vjp."
+                         "BWD_CARRY_ENABLED)")
     args = ap.parse_args()
+    if args.fwd_carry:
+        from super_resolution_tpu.ops.pallas import dense_block_cf
+        dense_block_cf.FWD_CARRY_ENABLED = True
+    if args.cf9:
+        from super_resolution_tpu.ops.pallas import partitioned
+        partitioned.CF9_ENABLED = True
+    if args.bwd_cap is not None or args.bwd_carry:
+        from super_resolution_tpu.ops.pallas import dense_block_cf_vjp
+        if args.bwd_cap is not None:
+            dense_block_cf_vjp.BWD_LANE_CAP_ALIGNED = args.bwd_cap
+        if args.bwd_carry:
+            dense_block_cf_vjp.BWD_CARRY_ENABLED = True
 
     import dataclasses
 
