@@ -1144,6 +1144,9 @@ def test_fwd_carry_matches_classic(save_acts, geom):
     ((16, 384, 8, 2, 48, False), 5),     # batch-to-lane folded (training)
     ((24, 128, 8, 2, None, True), 5),    # flat padded chaining
     ((16, 128, 8, 2, None, False), 4),   # non-default halo
+    ((10, 128, 5, 1, None, False), 5),   # rows == halo (the gate
+                                         # minimum: maximal stash/splice
+                                         # overlap inside one band)
 ])
 def test_bwd_carry_grads_match_classic(geom, n_convs):
     """BWD_CARRY_ENABLED (backward halo-recompute carry): every band
