@@ -70,7 +70,9 @@ def main() -> int:
     model = RRDBNet(cfg, dtype=jnp.bfloat16)
     # init through the lax path — the param tree is implementation-
     # agnostic and init must not depend on the pallas path compiling
-    params = jax.jit(RRDBNet(GeneratorConfig(),
+    # (explicit "lax", NOT the default "auto" which resolves back to
+    # pallas_cf on TPU)
+    params = jax.jit(RRDBNet(GeneratorConfig(conv_impl="lax"),
                              dtype=jnp.bfloat16).init)(
         jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
     x = jax.random.normal(jax.random.key(1), (BATCH, TILE, TILE, 3),
@@ -90,7 +92,7 @@ def main() -> int:
     except Exception as e:                 # pallas path unavailable here
         print(f"[bench] pallas_cf unavailable ({type(e).__name__}); "
               "falling back to lax", file=sys.stderr)
-        cfg = GeneratorConfig()
+        cfg = GeneratorConfig(conv_impl="lax")
         model = RRDBNet(cfg, dtype=jnp.bfloat16)
         f = jax.jit(chained)
         jax.device_get(f(params, x))

@@ -170,11 +170,12 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--dtype", default=None,
                    choices=("bfloat16", "float32"))
     p.add_argument("--conv_impl", default=None,
-                   choices=("lax", "pallas", "pallas_fused", "pallas_cf",
-                            "pallas_cf_tail"),
-                   help="generator conv implementation; pallas_cf is the "
-                        "fastest measured TPU path for inference AND "
-                        "training (BENCHNOTES.md); training falls back "
+                   choices=("auto", "lax", "pallas", "pallas_fused",
+                            "pallas_cf", "pallas_cf_tail"),
+                   help="generator conv implementation; the default "
+                        "'auto' picks pallas_cf (the fastest measured "
+                        "path for inference AND training, BENCHNOTES.md) "
+                        "on TPU and lax elsewhere; training falls back "
                         "to lax only at widths that neither align to "
                         "128 nor admit the batch-to-lane fold")
     p.add_argument("--seed", type=int, default=None)

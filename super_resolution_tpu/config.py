@@ -21,6 +21,20 @@ IMAGENET_MEAN: Tuple[float, float, float] = (0.485, 0.456, 0.406)
 IMAGENET_STD: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
 
+def resolve_conv_impl(impl: str) -> str:
+    """Resolve ``conv_impl="auto"`` to the fastest measured path for the
+    process's default backend: ``"pallas_cf"`` on TPU, ``"lax"``
+    elsewhere (the Mosaic kernels need interpret mode off-TPU).  Named
+    impls pass through unchanged.  Called at model-build/trace time
+    (RRDBNet/DenseBlock ``__call__``, train/steps._training_cfg) — the
+    backend is process-global, so the resolution is stable under jit."""
+    if impl != "auto":
+        return impl
+    import jax
+
+    return "pallas_cf" if jax.default_backend() == "tpu" else "lax"
+
+
 @dataclasses.dataclass(frozen=True)
 class GeneratorConfig:
     """RRDBNet generator hyper-parameters (SURVEY.md §2.1 "RRDB generator").
@@ -46,7 +60,14 @@ class GeneratorConfig:
     upsampler: str = "nearest_conv"   # "nearest_conv" | "pixelshuffle"
     init: str = "msra_scaled"         # "msra_scaled" (x0.1) | "torch_default"
     # Conv implementation (BENCHNOTES.md has every measurement):
-    # "lax"            XLA's conv emitter — default, always-correct
+    # "auto"           resolve by backend at model-build time — the
+    #                  default: "pallas_cf" on TPU (the fastest measured
+    #                  path for inference AND training), "lax" anywhere
+    #                  else (CPU tests/dev; Pallas needs interpret mode
+    #                  there).  Resolution happens in RRDBNet/DenseBlock
+    #                  __call__ and train/steps._training_cfg via
+    #                  :func:`resolve_conv_impl`.
+    # "lax"            XLA's conv emitter — always-correct
     # "pallas_cf"      channels-first fused dense-block kernel v5 —
     #                  fastest measured TPU inference (2.6× lax per
     #                  block, ~40 MP/s/chip end-to-end); differentiable
@@ -60,7 +81,7 @@ class GeneratorConfig:
     #                  kept as an experiment)
     # "pallas"/"pallas_fused"  earlier NHWC kernel experiments (slower
     #                  than lax on this chip; no VJP)
-    conv_impl: str = "lax"
+    conv_impl: str = "auto"
     # Tail upsample implementation for the nearest_conv upsampler:
     # "polyphase" computes nearest-×2 + 3×3 conv as four 2×2 convs on
     # the SMALL plane (2.25× fewer MACs, no upsampled-plane input read —

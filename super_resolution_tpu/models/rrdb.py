@@ -37,7 +37,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from super_resolution_tpu.config import GeneratorConfig
+from super_resolution_tpu.config import GeneratorConfig, resolve_conv_impl
 from super_resolution_tpu.models.initializers import conv_inits
 from super_resolution_tpu.ops.shuffle import nearest_upsample, pixel_shuffle
 
@@ -138,6 +138,17 @@ def _conv3x3(x, features: int, *, name: str, scheme: str, dtype,
     return Conv3x3(features, scheme, dtype, impl, name=name)(x)
 
 
+def _resolved(cfg: GeneratorConfig) -> GeneratorConfig:
+    """cfg with ``conv_impl="auto"`` resolved for the current backend
+    (config.resolve_conv_impl) — a no-op for explicit impls."""
+    impl = resolve_conv_impl(cfg.conv_impl)
+    if impl == cfg.conv_impl:
+        return cfg
+    import dataclasses
+
+    return dataclasses.replace(cfg, conv_impl=impl)
+
+
 class _ConvParams(nn.Module):
     """Declares a Conv3x3-compatible {kernel, bias} pair without running a
     conv — lets the fused dense-block kernel consume the exact same param
@@ -192,7 +203,7 @@ class DenseBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        cfg = self.cfg
+        cfg = _resolved(self.cfg)
         c_total = x.shape[1] + (cfg.n_dense_convs - 1) * cfg.growth
         if self.flat_h is not None:
             # flat chained trunk: the RRDBNet caller already verified
@@ -311,7 +322,7 @@ class RRDBNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        cfg = self.cfg
+        cfg = _resolved(self.cfg)
         x = x.astype(self.dtype)
         fea = _conv3x3(x, cfg.filters, name="conv_first", scheme=cfg.init,
                        dtype=self.dtype, impl=cfg.conv_impl)

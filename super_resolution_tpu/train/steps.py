@@ -77,9 +77,14 @@ def _training_cfg(cfg: TrainConfig) -> TrainConfig:
     way, so checkpoints swap freely."""
     import dataclasses
 
+    from super_resolution_tpu.config import resolve_conv_impl
     from super_resolution_tpu.models.rrdb import _fold_factor, _pick_rows
 
-    impl = cfg.generator.conv_impl
+    impl = resolve_conv_impl(cfg.generator.conv_impl)
+    if impl != cfg.generator.conv_impl:
+        cfg = dataclasses.replace(
+            cfg, generator=dataclasses.replace(cfg.generator,
+                                               conv_impl=impl))
     lr_h, lr_w = cfg.data.lr_patch_hw
     if impl == "lax":
         return cfg

@@ -141,3 +141,40 @@ def test_tail_up_polyphase_matches_naive_model():
     yb = net_b.apply(params, x)          # same tree accepted
     np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_conv_impl_auto_resolution(monkeypatch):
+    """conv_impl='auto' (the GeneratorConfig default) resolves by
+    backend: pallas_cf on TPU, lax elsewhere — so the CLI/default path
+    gets the fastest measured implementation without a flag, and CPU
+    runs never touch Mosaic.  Explicit impls pass through untouched."""
+    from super_resolution_tpu.config import TrainConfig, resolve_conv_impl
+    from super_resolution_tpu.train.steps import _training_cfg
+
+    assert GeneratorConfig().conv_impl == "auto"
+    # this suite forces the CPU backend (conftest)
+    assert resolve_conv_impl("auto") == "lax"
+    assert resolve_conv_impl("pallas_cf") == "pallas_cf"
+    assert resolve_conv_impl("lax") == "lax"
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_conv_impl("auto") == "pallas_cf"
+    monkeypatch.undo()
+
+    # _training_cfg resolves auto before its width routing (CPU → lax)
+    cfg = _training_cfg(TrainConfig())
+    assert cfg.generator.conv_impl == "lax"
+
+    # model-level: auto on CPU behaves exactly like explicit lax
+    import dataclasses
+
+    gcfg = GeneratorConfig(n_blocks=1, filters=16, growth=8)
+    assert gcfg.conv_impl == "auto"
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 8, 8, 3)
+                    .astype(np.float32))
+    net = RRDBNet(gcfg, dtype=jnp.float32)
+    params = net.init(jax.random.key(0), x)
+    y_auto = net.apply(params, x)
+    net_lax = RRDBNet(dataclasses.replace(gcfg, conv_impl="lax"),
+                      dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(y_auto),
+                                  np.asarray(net_lax.apply(params, x)))

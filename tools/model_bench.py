@@ -46,7 +46,7 @@ def main():
         partitioned,
     )
 
-    params = jax.jit(RRDBNet(GeneratorConfig(),
+    params = jax.jit(RRDBNet(GeneratorConfig(conv_impl="lax"),
                              dtype=jnp.bfloat16).init)(
         jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
     x = jax.random.normal(jax.random.key(1), (BATCH, TILE, TILE, 3),

@@ -56,7 +56,7 @@ def main():
 
     cfg = GeneratorConfig(conv_impl=args.conv_impl)
     model = RRDBNet(cfg, dtype=jnp.bfloat16)
-    params = jax.jit(RRDBNet(GeneratorConfig(),
+    params = jax.jit(RRDBNet(GeneratorConfig(conv_impl="lax"),
                              dtype=jnp.bfloat16).init)(
         jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
     infer = jax.jit(lambda p, x: model.apply(p, x))
