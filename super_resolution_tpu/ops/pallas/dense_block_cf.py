@@ -60,9 +60,12 @@ DMA_IN_ENABLED = True
 # at the folded W = 384).  Gated on DMA delivery, W % 128 == 0 (the
 # splice offsets
 # are multiples of W) and rows ≥ 2·(halo−1) (the carry source must lie
-# inside the previous band's computed span).  Default OFF until the
-# on-chip parity drill (the round-3 overlap-add miscompile lesson).
-FWD_CARRY_ENABLED = False
+# inside the previous band's computed span).  Default ON since the
+# round-3 on-chip campaign: the parity drill passes (grads == lax at
+# the bf16 noise floor) and fwd+bwd carries together lift the GAN step
+# 16.69 -> 17.93 it/s (+7.4%; 18.29 with v9 routing) while staying
+# neutral-to-positive at inference rows (BENCHNOTES).
+FWD_CARRY_ENABLED = True
 
 
 def pack_weights_cf(w_hwio: jnp.ndarray) -> jnp.ndarray:

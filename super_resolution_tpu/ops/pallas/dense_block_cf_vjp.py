@@ -106,9 +106,14 @@ BWD_LANE_CAP_UNALIGNED = 2048
 # the same skew the forward runs forward.  Gated on DMA delivery,
 # W % 128 == 0 (all carry offsets are multiples of W) and
 # rows ≥ halo (the stash windows must fit above the next band's reads).
-# Default OFF until tools/verify_grads_onchip.py --bwd_carry passes on
-# real hardware (the round-3 overlap-add miscompile lesson).
-BWD_CARRY_ENABLED = False
+# Default ON since the round-3 on-chip campaign:
+# tools/verify_grads_onchip.py passes with --bwd_carry alone AND with
+# every knob combination (loss/gnorm identical to lax, reldiff at the
+# bf16 noise floor), and the fwd+bwd carries together lift the GAN step
+# +7.4% (BENCHNOTES; alone the bwd carry is a small regression — the
+# FLOP saving only nets out once the forward stops recomputing its own
+# halo, so the knobs ship as a pair).
+BWD_CARRY_ENABLED = True
 
 # Debug aid: zero every scratch buffer at the top of each grid iteration
 # (interpret mode does this implicitly; hardware VMEM starts as garbage).

@@ -46,8 +46,12 @@ from super_resolution_tpu.ops.pallas.dense_block_cf_ext import (
 # 128-wide inference tiles) and whose 3× dy-extended scratch fits the
 # VMEM cap run fused_dense_block_cf9 instead of v5 — one K = 3·C_k
 # matmul per conv (~18% fewer K-passes).  The backward stays v5
-# (v9-ification rejected on VMEM math, BENCHNOTES round 3).
-CF9_ENABLED = False
+# (v9-ification rejected on VMEM math, BENCHNOTES round 3).  Default ON
+# since the round-3 on-chip campaign: +14% in-kernel over v5 (108.5
+# TF/s, 57% MFU), inference 48.4 MP/s/chip, GAN 18.3 it/s with the
+# carries, and the full-model on-chip grad gate passes with every knob
+# combination (BENCHNOTES round-3 fifth/sixth sessions).
+CF9_ENABLED = True
 
 # The v9 scratch is (3·c_total, band_rows·W) at x.dtype.  The forward
 # has no other large scratch (one accumulator, DMA semaphores), so 8 MiB

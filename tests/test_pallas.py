@@ -1263,3 +1263,27 @@ def test_fwd_carry_v9_matches_classic(save_acts, geom):
     for a, b in zip(ga, ra):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_shipping_kernel_knob_defaults():
+    """The shipped trace-time knob configuration IS the measured-winner
+    config from the round-3 on-chip campaign (BENCHNOTES round-3
+    fifth/sixth sessions): v9 dispatch + fwd/bwd halo carries ON (GAN
+    b16·192² 18.3 it/s, inference 48.4 MP/s/chip; every combination
+    passes tools/verify_grads_onchip.py), DMA band delivery ON, lane
+    caps at the VMEM-margin values.  A silent default flip regresses
+    the headline benches — change these only with a fresh on-chip
+    grad gate + A/B."""
+    from super_resolution_tpu.ops.pallas import (
+        dense_block_cf,
+        dense_block_cf_vjp,
+        partitioned,
+    )
+
+    assert partitioned.CF9_ENABLED is True
+    assert dense_block_cf.FWD_CARRY_ENABLED is True
+    assert dense_block_cf.DMA_IN_ENABLED is True
+    assert dense_block_cf_vjp.BWD_CARRY_ENABLED is True
+    assert dense_block_cf_vjp.DMA_IN_ENABLED is True
+    assert dense_block_cf_vjp.BWD_LANE_CAP_ALIGNED == 3072
+    assert dense_block_cf_vjp.BWD_LANE_CAP_UNALIGNED == 2048

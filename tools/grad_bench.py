@@ -52,17 +52,18 @@ def main():
     ap.add_argument("--bwd_cap", type=int, default=None,
                     help="override dense_block_cf_vjp."
                          "BWD_LANE_CAP_ALIGNED")
-    ap.add_argument("--bwd_carry", action="store_true",
+    ap.add_argument("--bwd_carry", default=None,
+                    action=argparse.BooleanOptionalAction,
                     help="enable the Mosaic backward's halo-recompute "
                          "carry (ops/pallas/dense_block_cf_vjp."
                          "BWD_CARRY_ENABLED)")
     args = ap.parse_args()
-    if args.bwd_cap is not None or args.bwd_carry:
+    if args.bwd_cap is not None or args.bwd_carry is not None:
         from super_resolution_tpu.ops.pallas import dense_block_cf_vjp as v
         if args.bwd_cap is not None:
             v.BWD_LANE_CAP_ALIGNED = args.bwd_cap
-        if args.bwd_carry:
-            v.BWD_CARRY_ENABLED = True
+        if args.bwd_carry is not None:
+            v.BWD_CARRY_ENABLED = args.bwd_carry
 
     from super_resolution_tpu.models.rrdb import _fold_factor, _pick_rows
     from super_resolution_tpu.ops.pallas.dense_block_cf_vjp import (

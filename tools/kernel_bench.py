@@ -44,13 +44,14 @@ def main():
     ap.add_argument("--hw", type=int, default=128)
     ap.add_argument("--variants", default="lax,v3b,v4,v5")
     ap.add_argument("--rows", default="16,32")
-    ap.add_argument("--fwd_carry", action="store_true",
+    ap.add_argument("--fwd_carry", default=None,
+                    action=argparse.BooleanOptionalAction,
                     help="enable the fused forward's upward-halo carry "
                          "(ops/pallas/dense_block_cf.FWD_CARRY_ENABLED)")
     args = ap.parse_args()
-    if args.fwd_carry:
+    if args.fwd_carry is not None:
         from super_resolution_tpu.ops.pallas import dense_block_cf
-        dense_block_cf.FWD_CARRY_ENABLED = True
+        dense_block_cf.FWD_CARRY_ENABLED = args.fwd_carry
 
     from super_resolution_tpu.ops.pallas.dense_block_cf import (
         fused_dense_block_cf5,

@@ -29,13 +29,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants",
                     default="lax,v4+laxtail,v5+laxtail,v4+ktail,v5+ktail")
-    ap.add_argument("--fwd_carry", action="store_true",
+    ap.add_argument("--fwd_carry", default=None,
+                    action=argparse.BooleanOptionalAction,
                     help="enable the fused forward's upward-halo carry "
                          "(ops/pallas/dense_block_cf.FWD_CARRY_ENABLED)")
     args = ap.parse_args()
-    if args.fwd_carry:
+    if args.fwd_carry is not None:
         from super_resolution_tpu.ops.pallas import dense_block_cf
-        dense_block_cf.FWD_CARRY_ENABLED = True
+        dense_block_cf.FWD_CARRY_ENABLED = args.fwd_carry
 
     from super_resolution_tpu.config import GeneratorConfig
     from super_resolution_tpu.models import RRDBNet

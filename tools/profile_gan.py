@@ -54,33 +54,36 @@ def main():
     ap.add_argument("--impl", default="lax")
     ap.add_argument("--trace", default=None)
     ap.add_argument("--trace_steps", type=int, default=10)
-    ap.add_argument("--cf9", action="store_true",
+    ap.add_argument("--cf9", default=None,
+                    action=argparse.BooleanOptionalAction,
                     help="route aligned-width fused forwards through "
                          "the dy-extended v9 kernel "
                          "(ops/pallas/partitioned.CF9_ENABLED)")
     ap.add_argument("--bwd_cap", type=int, default=None,
                     help="override dense_block_cf_vjp."
                          "BWD_LANE_CAP_ALIGNED")
-    ap.add_argument("--fwd_carry", action="store_true",
+    ap.add_argument("--fwd_carry", default=None,
+                    action=argparse.BooleanOptionalAction,
                     help="enable the fused forward's upward-halo carry "
                          "(ops/pallas/dense_block_cf.FWD_CARRY_ENABLED)")
-    ap.add_argument("--bwd_carry", action="store_true",
+    ap.add_argument("--bwd_carry", default=None,
+                    action=argparse.BooleanOptionalAction,
                     help="enable the Mosaic backward's halo-recompute "
                          "carry (ops/pallas/dense_block_cf_vjp."
                          "BWD_CARRY_ENABLED)")
     args = ap.parse_args()
-    if args.fwd_carry:
+    if args.fwd_carry is not None:
         from super_resolution_tpu.ops.pallas import dense_block_cf
-        dense_block_cf.FWD_CARRY_ENABLED = True
-    if args.cf9:
+        dense_block_cf.FWD_CARRY_ENABLED = args.fwd_carry
+    if args.cf9 is not None:
         from super_resolution_tpu.ops.pallas import partitioned
-        partitioned.CF9_ENABLED = True
-    if args.bwd_cap is not None or args.bwd_carry:
+        partitioned.CF9_ENABLED = args.cf9
+    if args.bwd_cap is not None or args.bwd_carry is not None:
         from super_resolution_tpu.ops.pallas import dense_block_cf_vjp
         if args.bwd_cap is not None:
             dense_block_cf_vjp.BWD_LANE_CAP_ALIGNED = args.bwd_cap
-        if args.bwd_carry:
-            dense_block_cf_vjp.BWD_CARRY_ENABLED = True
+        if args.bwd_carry is not None:
+            dense_block_cf_vjp.BWD_CARRY_ENABLED = args.bwd_carry
 
     import dataclasses
 

@@ -34,21 +34,23 @@ def main():
     ap.add_argument("--tile_batch", type=int, default=8)
     ap.add_argument("--conv_impl", default="pallas_cf")
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--cf9", action="store_true",
+    ap.add_argument("--cf9", default=None,
+                    action=argparse.BooleanOptionalAction,
                     help="route aligned-width fused forwards through "
                          "the dy-extended v9 kernel "
                          "(ops/pallas/partitioned.CF9_ENABLED)")
-    ap.add_argument("--fwd_carry", action="store_true",
+    ap.add_argument("--fwd_carry", default=None,
+                    action=argparse.BooleanOptionalAction,
                     help="enable the fused forward's upward-halo carry "
                          "(ops/pallas/dense_block_cf.FWD_CARRY_ENABLED)")
     args = ap.parse_args()
-    if args.fwd_carry:
+    if args.fwd_carry is not None:
         from super_resolution_tpu.ops.pallas import dense_block_cf
-        dense_block_cf.FWD_CARRY_ENABLED = True
+        dense_block_cf.FWD_CARRY_ENABLED = args.fwd_carry
 
-    if args.cf9:
+    if args.cf9 is not None:
         from super_resolution_tpu.ops.pallas import partitioned
-        partitioned.CF9_ENABLED = True
+        partitioned.CF9_ENABLED = args.cf9
 
     from super_resolution_tpu.config import GeneratorConfig
     from super_resolution_tpu.models import RRDBNet

@@ -38,7 +38,8 @@ def main():
     ap.add_argument("--dedup", action="store_true",
                     help="cfg.dedup_d_hr: one D(hr) forward per GAN "
                          "step (train/steps._dedup_gan_step)")
-    ap.add_argument("--cf9", action="store_true",
+    ap.add_argument("--cf9", default=None,
+                    action=argparse.BooleanOptionalAction,
                     help="route aligned-width fused forwards through "
                          "the dy-extended v9 kernel "
                          "(ops/pallas/partitioned.CF9_ENABLED)")
@@ -46,24 +47,26 @@ def main():
                     help="override dense_block_cf_vjp."
                          "BWD_LANE_CAP_ALIGNED (e.g. 4608 admits "
                          "rows=12 at the folded W=384 geometry)")
-    ap.add_argument("--fwd_carry", action="store_true",
+    ap.add_argument("--fwd_carry", default=None,
+                    action=argparse.BooleanOptionalAction,
                     help="enable the fused forward's upward-halo carry "
                          "(ops/pallas/dense_block_cf.FWD_CARRY_ENABLED)")
-    ap.add_argument("--bwd_carry", action="store_true",
+    ap.add_argument("--bwd_carry", default=None,
+                    action=argparse.BooleanOptionalAction,
                     help="enable the Mosaic backward's halo-recompute "
                          "carry (ops/pallas/dense_block_cf_vjp."
                          "BWD_CARRY_ENABLED)")
     args = ap.parse_args()
-    if args.fwd_carry:
+    if args.fwd_carry is not None:
         from super_resolution_tpu.ops.pallas import dense_block_cf
-        dense_block_cf.FWD_CARRY_ENABLED = True
-    if args.bwd_carry:
+        dense_block_cf.FWD_CARRY_ENABLED = args.fwd_carry
+    if args.bwd_carry is not None:
         from super_resolution_tpu.ops.pallas import dense_block_cf_vjp as v
-        v.BWD_CARRY_ENABLED = True
+        v.BWD_CARRY_ENABLED = args.bwd_carry
 
-    if args.cf9:
+    if args.cf9 is not None:
         from super_resolution_tpu.ops.pallas import partitioned
-        partitioned.CF9_ENABLED = True
+        partitioned.CF9_ENABLED = args.cf9
     if args.bwd_cap is not None:
         from super_resolution_tpu.ops.pallas import dense_block_cf_vjp
         dense_block_cf_vjp.BWD_LANE_CAP_ALIGNED = args.bwd_cap
