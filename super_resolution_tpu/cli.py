@@ -263,9 +263,13 @@ def main(argv=None):
                    help="paired-LR directory for eval inputs (matched by "
                         "stem) instead of bicubic synthesis")
     e.add_argument("--checkpoint", required=True)
-    e.add_argument("--tile", type=int, default=128)
+    e.add_argument("--tile", type=int, default=384,
+                   help="tile window incl. overlap; 384 with tile_batch "
+                        "2 is the fastest measured 2K geometry on v5e "
+                        "(31.4 MP/s/chip vs 29.0 at 128, BENCHNOTES); "
+                        "W %% 128 == 0 keeps the aligned kernels engaged")
     e.add_argument("--halo", type=int, default=8)
-    e.add_argument("--tile_batch", type=int, default=4)
+    e.add_argument("--tile_batch", type=int, default=2)
     e.add_argument("--max_images", type=int, default=None)
     e.add_argument("--self_ensemble", action="store_true",
                    help="x8 flip/rotation test-time augmentation")
@@ -281,9 +285,13 @@ def main(argv=None):
     u.add_argument("--checkpoint", required=True)
     u.add_argument("--out", required=True,
                    help="output image, or a directory when --image is one")
-    u.add_argument("--tile", type=int, default=128)
+    u.add_argument("--tile", type=int, default=384,
+                   help="tile window incl. overlap; 384 with tile_batch "
+                        "2 is the fastest measured 2K geometry on v5e "
+                        "(31.4 MP/s/chip vs 29.0 at 128, BENCHNOTES); "
+                        "W %% 128 == 0 keeps the aligned kernels engaged")
     u.add_argument("--halo", type=int, default=8)
-    u.add_argument("--tile_batch", type=int, default=4)
+    u.add_argument("--tile_batch", type=int, default=2)
     u.add_argument("--self_ensemble", action="store_true",
                    help="x8 flip/rotation test-time augmentation")
 
@@ -297,9 +305,13 @@ def main(argv=None):
     sv.add_argument("--watch", required=True,
                     help="directory to watch for incoming LR frames")
     sv.add_argument("--out", required=True, help="output directory")
-    sv.add_argument("--tile", type=int, default=128)
+    sv.add_argument("--tile", type=int, default=384,
+                    help="tile window incl. overlap; 384 with tile_batch "
+                         "2 is the fastest measured 2K geometry on v5e "
+                         "(31.4 MP/s/chip vs 29.0 at 128, BENCHNOTES); "
+                         "W %% 128 == 0 keeps the aligned kernels engaged")
     sv.add_argument("--halo", type=int, default=8)
-    sv.add_argument("--tile_batch", type=int, default=8)
+    sv.add_argument("--tile_batch", type=int, default=2)
     sv.add_argument("--poll", type=float, default=0.5,
                     help="poll interval, seconds")
     sv.add_argument("--once", action="store_true",

@@ -9,7 +9,7 @@ scalar (the SR mean): through the axon tunnel `block_until_ready` does
 not block and bulk fetches run at ~15 MB/s (BENCHNOTES.md), so the 8K
 output must stay on device.
 
-Usage: python tools/tiled_bench.py [--frame 2048] [--tile 128] [--halo 8]
+Usage: python tools/tiled_bench.py [--frame 2048] [--tile 384] [--halo 8]
 """
 
 import argparse
@@ -29,9 +29,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frame", type=int, default=2048,
                     help="LR frame size (square)")
-    ap.add_argument("--tile", type=int, default=128)
+    ap.add_argument("--tile", type=int, default=384)
     ap.add_argument("--halo", type=int, default=8)
-    ap.add_argument("--tile_batch", type=int, default=8)
+    ap.add_argument("--tile_batch", type=int, default=2)
     ap.add_argument("--conv_impl", default="pallas_cf")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cf9", default=None,
