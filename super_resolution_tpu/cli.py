@@ -401,6 +401,7 @@ def main(argv=None):
             normalize,
             to_uint8_image,
         )
+        from super_resolution_tpu.data.image_io import merge_alpha, split_alpha
         from super_resolution_tpu.parallel import tiled_upscale
         from super_resolution_tpu.train.steps import make_infer_fn
 
@@ -411,7 +412,7 @@ def main(argv=None):
 
         def upscale_one(src: str, dst: str):
             with Image.open(src) as im:
-                lr_u8 = np.asarray(im.convert("RGB"))
+                lr_u8, alpha_u8 = split_alpha(im)
             lrn = normalize(jnp.asarray(lr_u8, jnp.float32) / 255.0,
                             mean, std)
             up = lambda img: tiled_upscale(
@@ -425,6 +426,12 @@ def main(argv=None):
             else:
                 srn = up(lrn)
             sr_u8 = np.asarray(to_uint8_image(srn, cfg.data))
+            if alpha_u8 is not None and dst.lower().endswith((".jpg",
+                                                              ".jpeg")):
+                print(f"[cli] warning: {src} has an alpha channel but "
+                      f"{dst} is JPEG — transparency dropped (use .png)")
+                alpha_u8 = None
+            sr_u8 = merge_alpha(sr_u8, alpha_u8, cfg.generator.scale)
             Image.fromarray(sr_u8).save(dst)
             print(f"[cli] {lr_u8.shape[1]}x{lr_u8.shape[0]} → "
                   f"{sr_u8.shape[1]}x{sr_u8.shape[0]} saved to {dst}")

@@ -99,12 +99,20 @@ def serve_watch(
             sig2 = _signature(path)
             if sig2 is None:
                 continue
+            from super_resolution_tpu.data.image_io import (
+                merge_alpha,
+                split_alpha,
+            )
+
             with Image.open(path) as im:
-                lr_u8 = np.asarray(im.convert("RGB"))
+                lr_u8, alpha_u8 = split_alpha(im)
             t0 = time.perf_counter()
-            sr_u8 = upscale_fn(lr_u8)
+            sr_u8 = np.asarray(upscale_fn(lr_u8))
+            # alpha rides the bicubic path, not the GAN (image_io
+            # docstring) — outputs are always PNG here, so it survives
+            sr_u8 = merge_alpha(sr_u8, alpha_u8, scale)
             dt = time.perf_counter() - t0
-            Image.fromarray(np.asarray(sr_u8)).save(dst)
+            Image.fromarray(sr_u8).save(dst)
             done[path] = sig2
             n += 1
             rec = {
