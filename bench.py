@@ -5,8 +5,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 - Model: canonical 23-block/64-filter/growth-32 RRDBNet (16,697,987
   params), bf16 compute / fp32 params, NHWC.
-- Workload: batched 128×128 LR tiles → 512×512 SR (the tiled-inference
-  production shape; measured faster per pixel than 256² tiles —
+- Workload: batched 128×128 LR tiles → 512×512 SR.  This is the
+  round-1 contract shape, kept FIXED for round-over-round
+  comparability (production tiled inference now defaults to
+  tile=384 / tile_batch=2 after the round-3 geometry sweep —
   BENCHNOTES.md).  The scan body feeds the carry back into the input —
   without that data dependency XLA hoists the loop-invariant forward out
   of the scan and the "throughput" becomes one forward amortized over

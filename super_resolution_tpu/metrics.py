@@ -78,10 +78,16 @@ class MetricLogger:
     reference's tqdm/print surface) + tensorboard scalars/images
     (SURVEY.md §5.5) — event files land in ``<log_dir>/tb``."""
 
-    def __init__(self, log_dir: Optional[str] = None):
+    def __init__(self, log_dir: Optional[str] = None,
+                 stdout: bool = True):
         self._acc: Dict[str, list] = {}
         self._file = None
         self._tb = None
+        # multi-host: non-primary processes keep accumulating (flush
+        # still device_gets, keeping the host pace identical across
+        # processes) but stay silent — stdout is a primary-only side
+        # effect (parallel/multihost.py §3)
+        self._stdout = stdout
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._file = open(os.path.join(log_dir, "metrics.jsonl"), "a")
@@ -122,7 +128,8 @@ class MetricLogger:
         if extra:
             out.update(extra)
         line = " ".join(f"{k}={v:.4g}" for k, v in sorted(out.items()))
-        print(f"[{prefix} step {step}] {line}", flush=True)
+        if self._stdout:
+            print(f"[{prefix} step {step}] {line}", flush=True)
         if self._file:
             self._file.write(json.dumps({"step": step, "prefix": prefix,
                                          **out}) + "\n")
@@ -137,7 +144,8 @@ class MetricLogger:
         vals = {k: float(v) for k, v in metrics.items()
                 if isinstance(v, (int, float))}
         line = " ".join(f"{k}={v:.4g}" for k, v in sorted(vals.items()))
-        print(f"[{prefix} step {step}] {line}", flush=True)
+        if self._stdout:
+            print(f"[{prefix} step {step}] {line}", flush=True)
         if self._file:
             self._file.write(json.dumps({"step": step, "prefix": prefix,
                                          **vals}) + "\n")

@@ -49,8 +49,31 @@ def batch_sharded(mesh: Mesh) -> NamedSharding:
 
 def shard_state(state, mesh: Mesh):
     """Replicate the train state across the mesh (params + opt states are
-    tiny relative to HBM; FSDP is unnecessary, SURVEY.md §2.3)."""
-    return jax.device_put(state, replicated(mesh))
+    tiny relative to HBM; FSDP is unnecessary, SURVEY.md §2.3).
+
+    On a multi-process (DCN) mesh ``device_put`` rejects the
+    non-addressable replicated sharding, so the global array is
+    assembled from the process-local value instead — valid because
+    every process builds the identical state (same-seed ``init_state``;
+    the multihost input contract, parallel/multihost.py).  Found by the
+    2-process CPU handshake test: the single-process degenerate path
+    never hits this branch.
+    """
+    sh = replicated(mesh)
+    if all(d.process_index == jax.process_index()
+           for d in mesh.devices.flat):
+        return jax.device_put(state, sh)
+
+    def put(a):
+        if isinstance(a, jax.Array) and jax.dtypes.issubdtype(
+                a.dtype, jax.dtypes.prng_key):
+            data = jax.make_array_from_process_local_data(
+                sh, np.asarray(jax.random.key_data(a)))
+            return jax.random.wrap_key_data(
+                data, impl=jax.random.key_impl(a))
+        return jax.make_array_from_process_local_data(sh, np.asarray(a))
+
+    return jax.tree.map(put, state)
 
 
 def shard_batch_iter(it: Iterator[np.ndarray], mesh: Mesh,

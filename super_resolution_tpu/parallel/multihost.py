@@ -52,6 +52,17 @@ def initialize(coordinator_address: Optional[str] = None,
     relies on the environment's auto-detection (TPU pod metadata /
     ``JAX_COORDINATOR_ADDRESS`` etc.).  Idempotent: a second call is a
     no-op instead of an error so library users can call it defensively."""
+    plats = (jax.config.jax_platforms or "").split(",")[0]
+    if plats == "cpu":
+        # CPU cross-process collectives need an explicit backend (gloo
+        # ships in jaxlib); TPU pods ride ICI/DCN and ignore this.  Set
+        # BEFORE initialize so the 2-process CPU handshake test (and any
+        # CPU-pod rehearsal) gets working psums instead of a hang.
+        try:
+            jax.config.update("jax_cpu_collectives_implementation",
+                              "gloo")
+        except Exception:                        # flag renamed/absent
+            pass
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

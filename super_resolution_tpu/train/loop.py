@@ -235,7 +235,8 @@ def train(cfg: TrainConfig,
     gan_step = make_gan_step(cfg) if cfg.loss.lambda_adv > 0 else None
     infer_fn = make_infer_fn(cfg)
 
-    logger = MetricLogger(log_dir if mh.is_primary() else None)
+    logger = MetricLogger(log_dir if mh.is_primary() else None,
+                          stdout=mh.is_primary())
     meter = Throughput(n_chips=max(1, cfg.data_parallel))
     log_every = 50
     last_host_batch = None

@@ -186,3 +186,83 @@ def test_cli_multihost_single_process_end_to_end(tmp_path):
         capture_output=True, text=True, env=env, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "warmup step 2" in r.stdout + r.stderr, r.stdout[-2000:]
+
+
+def _run_train_proc(root, tmp_path, port, pid, nproc, local_devices,
+                    tag):
+    """Launch one CLI train process of an nproc-process CPU 'pod'."""
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": ("--xla_force_host_platform_device_count="
+                      f"{local_devices}"),
+        "PYTHONPATH": os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+    })
+    return subprocess.Popen(
+        [sys.executable, "-m", "super_resolution_tpu.cli", "train",
+         "--dataset_dir", root, "--steps", "2", "--batch_size", "4",
+         "--hr_height", "32", "--residual_blocks", "1",
+         "--warmup_batches", "10", "--no_perceptual", "--n_cpu", "1",
+         "--data_parallel", str(nproc * local_devices), "--multihost",
+         "--coordinator", f"127.0.0.1:{port}",
+         "--num_processes", str(nproc), "--process_id", str(pid),
+         "--checkpoint_dir", str(tmp_path / f"ck_{tag}")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env)
+
+
+def _step2_metrics(out: str) -> dict:
+    """Parse the '[warmup step 2] k=v ...' line into {k: float}."""
+    import re
+
+    for line in out.splitlines():
+        if "warmup step 2]" in line:
+            return {m.group(1): float(m.group(2)) for m in
+                    re.finditer(r"(\w+)=([-\d.e+]+)", line)}
+    raise AssertionError(f"no step-2 log line in:\n{out[-2000:]}")
+
+
+def test_cli_multihost_two_process_handshake(tmp_path):
+    """THE real coordinator handshake: two OS processes, each owning 2
+    of a 4-device CPU mesh, train 2 steps through the full --multihost
+    CLI path (gloo cross-process psums, partitioned loaders, collective
+    orbax save) and must reproduce the single-process 4-device run's
+    metrics — the global-batch-semantics contract across the DCN
+    boundary, not just within one process."""
+    root = _write_images(tmp_path, size=64)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    procs = [_run_train_proc(root, tmp_path, port, pid, 2, 2, "two")
+             for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    assert all(p.returncode == 0 for p in procs), \
+        f"p0:\n{outs[0][-1500:]}\np1:\n{outs[1][-1500:]}"
+
+    # primary-only side effects: step logs come from process 0 only
+    got = _step2_metrics(outs[0])
+    assert "warmup step 2]" not in outs[1], outs[1][-1000:]
+
+    # collective checkpoint landed and is loadable
+    assert os.path.isdir(os.path.join(tmp_path, "ck_two", "2"))
+
+    # oracle: same config, ONE process with all 4 devices
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port1 = s.getsockname()[1]
+    p = _run_train_proc(root, tmp_path, port1, 0, 1, 4, "one")
+    out, _ = p.communicate(timeout=900)
+    assert p.returncode == 0, out[-1500:]
+    want = _step2_metrics(out)
+
+    assert set(got) == set(want)
+    for k in want:
+        if k in ("mp_per_sec_per_chip",):
+            continue
+        np.testing.assert_allclose(
+            got[k], want[k], rtol=2e-4, err_msg=k)

@@ -33,7 +33,14 @@ def main():
                     action=argparse.BooleanOptionalAction,
                     help="enable the fused forward's upward-halo carry "
                          "(ops/pallas/dense_block_cf.FWD_CARRY_ENABLED)")
+    ap.add_argument("--tile", type=int, default=TILE,
+                    help="LR side length (default %(default)s)")
+    ap.add_argument("--batch", type=int, default=BATCH,
+                    help="batch size (default %(default)s)")
+    ap.add_argument("--iters", type=int, default=ITERS,
+                    help="chained forwards per timed call")
     args = ap.parse_args()
+    tile, batch, iters = args.tile, args.batch, args.iters
     if args.fwd_carry is not None:
         from super_resolution_tpu.ops.pallas import dense_block_cf
         dense_block_cf.FWD_CARRY_ENABLED = args.fwd_carry
@@ -50,7 +57,7 @@ def main():
     params = jax.jit(RRDBNet(GeneratorConfig(conv_impl="lax"),
                              dtype=jnp.bfloat16).init)(
         jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
-    x = jax.random.normal(jax.random.key(1), (BATCH, TILE, TILE, 3),
+    x = jax.random.normal(jax.random.key(1), (batch, tile, tile, 3),
                           jnp.float32)
 
     # the inference primal resolves the kernel through partitioned.py's
@@ -63,7 +70,12 @@ def main():
         return conv_cf._lax_ref(x, w, b, act, slope)
 
     for variant in args.variants.split(","):
-        impl = "lax" if variant == "lax" else "pallas_cf"
+        # "prod": the pure shipping configuration — GeneratorConfig
+        # defaults (conv_impl="auto") with whatever knob defaults ship;
+        # no monkeypatching, so it measures exactly what bench.py and
+        # the CLI run.
+        impl = ("lax" if variant == "lax"
+                else "auto" if variant == "prod" else "pallas_cf")
         if "+" in variant:
             block, tail = variant.split("+")
             def adapt(fn):
@@ -92,7 +104,7 @@ def main():
             def body(c, _):
                 y = model.apply(params, x * (1.0 + c))
                 return jnp.sum(y.astype(jnp.float32)) * 1e-12, None
-            return jax.lax.scan(body, 0.0, None, length=ITERS)[0]
+            return jax.lax.scan(body, 0.0, None, length=iters)[0]
 
         f = jax.jit(chained)
         try:
@@ -104,8 +116,8 @@ def main():
                 t0 = time.perf_counter()
                 jax.device_get(f(params, x))
                 best = min(best, time.perf_counter() - t0)
-            per_batch = max(best - TUNNEL_FLOOR_S, 1e-9) / ITERS
-            mp_s = BATCH * (TILE * 4) ** 2 / 1e6 / per_batch
+            per_batch = max(best - TUNNEL_FLOOR_S, 1e-9) / iters
+            mp_s = batch * (tile * 4) ** 2 / 1e6 / per_batch
             print(f"{variant:12s}: {per_batch * 1e3:6.1f} ms/batch  "
                   f"{mp_s:6.2f} MP/s  (compile {compile_s:.0f}s)",
                   flush=True)
