@@ -69,6 +69,8 @@ def serve_watch(
     of frames processed."""
     from PIL import Image
 
+    from super_resolution_tpu.data.image_io import merge_alpha, split_alpha
+
     os.makedirs(out_dir, exist_ok=True)
     log_path = log_path or os.path.join(out_dir, "serve_log.jsonl")
     done: Dict[str, Tuple[float, int]] = {}
@@ -99,11 +101,6 @@ def serve_watch(
             sig2 = _signature(path)
             if sig2 is None:
                 continue
-            from super_resolution_tpu.data.image_io import (
-                merge_alpha,
-                split_alpha,
-            )
-
             with Image.open(path) as im:
                 lr_u8, alpha_u8 = split_alpha(im)
             t0 = time.perf_counter()
