@@ -41,8 +41,14 @@ TUNNEL_FLOOR_S = 0.025
 
 
 def main() -> int:
+    from super_resolution_tpu.compile_cache import enable_compilation_cache
     from super_resolution_tpu.config import GeneratorConfig
     from super_resolution_tpu.models import RRDBNet
+
+    # persistent XLA cache: a warm re-run loads the round's executable
+    # from disk instead of repaying the ~20 min cold compile
+    # (compile_cache.py; BENCHNOTES round 4 has the measured numbers)
+    enable_compilation_cache()
 
     # The tunneled TPU backend can go fully UNAVAILABLE (jax.devices()
     # itself hangs — CLAUDE.md env gotchas); abort with a clear message

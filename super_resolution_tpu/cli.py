@@ -188,6 +188,14 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--lenient_import", action="store_true",
                    help="ignore unmapped keys when importing a torch .pth "
                         "(training bookkeeping some releases leave in)")
+    p.add_argument("--compile_cache_dir", default=None,
+                   help="persistent XLA compilation-cache directory "
+                        "(default ~/.cache/super_resolution_tpu/"
+                        "xla_cache); a warm cache turns the ~10-20 min "
+                        "TPU cold compile of the production graphs into "
+                        "a disk load")
+    p.add_argument("--no_compile_cache", action="store_true",
+                   help="disable the persistent compilation cache")
 
 
 def main(argv=None):
@@ -342,6 +350,12 @@ def main(argv=None):
     i.add_argument("--out", required=True)
 
     args = parser.parse_args(argv)
+    if not getattr(args, "no_compile_cache", False):
+        from super_resolution_tpu.compile_cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache(args.compile_cache_dir)
     if getattr(args, "multihost", False):
         # must run before the first device op (so before _build_cfg's
         # device queries and model init)

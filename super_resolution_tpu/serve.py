@@ -2,13 +2,18 @@
 stream.
 
 Production detector pipelines drop frames into a directory; this mode
-keeps ONE process alive with the generator compiled once (first frame
-pays the ~30 s XLA compile, every later frame reuses the executable and
-runs at full chip rate) and upscales each new frame as it appears.
-Contrast with re-invoking ``cli upscale`` per frame, which would pay the
-compile every time — on TPU the compile dominates single-frame latency
-by two orders of magnitude, so a resident server IS the deployment
-story (SURVEY.md §1 L6; ROADMAP serving item).
+keeps ONE process alive with the generator compiled once and upscales
+each new frame as it appears.  Cold-start honesty (measured on this
+environment's tunneled v5e, round 3/4): the first frame pays the full
+XLA+Mosaic compile of the production inference graph — ~10–20 min cold
+(bench.py measured 1174 s at round-3 shipping defaults).  Two things
+make that a one-time cost, not a per-restart cost: (a) this process
+stays resident, so frames 2..N run at full chip rate, and (b) the
+persistent compilation cache (compile_cache.py, on by default in the
+CLI) turns every LATER process start into a disk load of the cached
+executable (warm-restart numbers in BENCHNOTES.md round 4).  Re-invoking
+``cli upscale`` per frame would still pay dispatch + load per frame;
+a resident server IS the deployment story (SURVEY.md §1 L6).
 
 Mechanics: poll the watch dir (os.scandir — cheap; no inotify
 dependency), claim each unprocessed image by its (name, mtime, size)
@@ -105,10 +110,13 @@ def serve_watch(
                 lr_u8, alpha_u8 = split_alpha(im)
             t0 = time.perf_counter()
             sr_u8 = np.asarray(upscale_fn(lr_u8))
-            # alpha rides the bicubic path, not the GAN (image_io
-            # docstring) — outputs are always PNG here, so it survives
-            sr_u8 = merge_alpha(sr_u8, alpha_u8, scale)
             dt = time.perf_counter() - t0
+            # alpha rides the bicubic path, not the GAN (image_io
+            # docstring) — outputs are always PNG here, so it survives.
+            # Kept OUTSIDE the timing window: the first alpha frame pays
+            # a per-alpha-shape XLA compile that would otherwise inflate
+            # the logged model throughput (ADVICE round 3).
+            sr_u8 = merge_alpha(sr_u8, alpha_u8, scale)
             Image.fromarray(sr_u8).save(dst)
             done[path] = sig2
             n += 1

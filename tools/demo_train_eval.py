@@ -24,6 +24,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+from super_resolution_tpu.compile_cache import (            # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()   # warm re-runs skip the TPU compile
+
 
 def make_dataset(root: str, n_train: int = 100, n_val: int = 10,
                  size: int = 384, seed: int = 0) -> None:

@@ -21,6 +21,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+from super_resolution_tpu.compile_cache import (            # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()   # warm re-runs skip the TPU compile
+
 import jax                                                    # noqa: E402
 import jax.numpy as jnp                                       # noqa: E402
 import numpy as np                                            # noqa: E402
