@@ -277,6 +277,11 @@ def main(argv=None):
                         "(31.4 MP/s/chip vs 29.0 at 128, BENCHNOTES); "
                         "W %% 128 == 0 keeps the aligned kernels engaged")
     e.add_argument("--halo", type=int, default=8)
+    e.add_argument("--tile_w", type=int, default=None,
+                   help="tile width when the grid should be rectangular "
+                        "(default: square --tile). --tile >= frame "
+                        "height with a narrow --tile_w gives full-height "
+                        "COLUMN tiling: overlap waste on one axis only")
     e.add_argument("--tile_batch", type=int, default=2)
     e.add_argument("--max_images", type=int, default=None)
     e.add_argument("--self_ensemble", action="store_true",
@@ -299,6 +304,11 @@ def main(argv=None):
                         "(31.4 MP/s/chip vs 29.0 at 128, BENCHNOTES); "
                         "W %% 128 == 0 keeps the aligned kernels engaged")
     u.add_argument("--halo", type=int, default=8)
+    u.add_argument("--tile_w", type=int, default=None,
+                   help="tile width when the grid should be rectangular "
+                        "(default: square --tile). --tile >= frame "
+                        "height with a narrow --tile_w gives full-height "
+                        "COLUMN tiling: overlap waste on one axis only")
     u.add_argument("--tile_batch", type=int, default=2)
     u.add_argument("--self_ensemble", action="store_true",
                    help="x8 flip/rotation test-time augmentation")
@@ -319,6 +329,11 @@ def main(argv=None):
                          "(31.4 MP/s/chip vs 29.0 at 128, BENCHNOTES); "
                          "W %% 128 == 0 keeps the aligned kernels engaged")
     sv.add_argument("--halo", type=int, default=8)
+    sv.add_argument("--tile_w", type=int, default=None,
+                    help="tile width when the grid should be rectangular "
+                         "(default: square --tile). --tile >= frame "
+                         "height with a narrow --tile_w gives full-height "
+                         "COLUMN tiling: overlap waste on one axis only")
     sv.add_argument("--tile_batch", type=int, default=2)
     sv.add_argument("--poll", type=float, default=0.5,
                     help="poll interval, seconds")
@@ -394,6 +409,7 @@ def main(argv=None):
         mesh, g_params = _inference_mesh(cfg, g_params)
         out = evaluate_directory(cfg, g_params, args.dataset_dir,
                                  tile=args.tile, halo=args.halo,
+                                 tile_w=args.tile_w,
                                  tile_batch=args.tile_batch,
                                  max_images=args.max_images,
                                  use_self_ensemble=args.self_ensemble,
@@ -432,7 +448,8 @@ def main(argv=None):
             up = lambda img: tiled_upscale(
                 lambda x: infer(g_params, x), img,
                 scale=cfg.generator.scale, tile=args.tile,
-                halo=args.halo, tile_batch=args.tile_batch, mesh=mesh)
+                halo=args.halo, tile_w=args.tile_w,
+                tile_batch=args.tile_batch, mesh=mesh)
             if args.self_ensemble:
                 from super_resolution_tpu.ops import self_ensemble
 
@@ -442,11 +459,23 @@ def main(argv=None):
             sr_u8 = np.asarray(to_uint8_image(srn, cfg.data))
             if alpha_u8 is not None and dst.lower().endswith((".jpg",
                                                               ".jpeg")):
+                # Fast path for the common case; every other
+                # alpha-incapable format is caught by the save fallback
+                # below (PIL raises rather than silently flattening).
                 print(f"[cli] warning: {src} has an alpha channel but "
                       f"{dst} is JPEG — transparency dropped (use .png)")
                 alpha_u8 = None
-            sr_u8 = merge_alpha(sr_u8, alpha_u8, cfg.generator.scale)
-            Image.fromarray(sr_u8).save(dst)
+            sr_rgba = merge_alpha(sr_u8, alpha_u8, cfg.generator.scale)
+            try:
+                Image.fromarray(sr_rgba).save(dst)
+                sr_u8 = sr_rgba
+            except (OSError, ValueError, KeyError):
+                if alpha_u8 is None:
+                    raise            # not an alpha problem — real error
+                print(f"[cli] warning: {dst} format cannot store the "
+                      f"alpha channel of {src} — transparency dropped "
+                      f"(use .png)")
+                Image.fromarray(sr_u8).save(dst)
             print(f"[cli] {lr_u8.shape[1]}x{lr_u8.shape[0]} → "
                   f"{sr_u8.shape[1]}x{sr_u8.shape[0]} saved to {dst}")
 
@@ -478,7 +507,7 @@ def main(argv=None):
                             mean, std)
             srn = tiled_upscale(lambda x: infer(g_params, x), lrn,
                                 scale=cfg.generator.scale, tile=args.tile,
-                                halo=args.halo,
+                                halo=args.halo, tile_w=args.tile_w,
                                 tile_batch=args.tile_batch, mesh=mesh)
             return np.asarray(to_uint8_image(srn, cfg.data))
 

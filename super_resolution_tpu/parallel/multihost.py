@@ -53,11 +53,15 @@ def initialize(coordinator_address: Optional[str] = None,
     ``JAX_COORDINATOR_ADDRESS`` etc.).  Idempotent: a second call is a
     no-op instead of an error so library users can call it defensively."""
     plats = (jax.config.jax_platforms or "").split(",")[0]
-    if plats == "cpu":
+    if plats in ("cpu", ""):
         # CPU cross-process collectives need an explicit backend (gloo
         # ships in jaxlib); TPU pods ride ICI/DCN and ignore this.  Set
         # BEFORE initialize so the 2-process CPU handshake test (and any
         # CPU-pod rehearsal) gets working psums instead of a hang.
+        # "" covers jax_platforms=None — a CPU-only machine that never
+        # set JAX_PLATFORMS would otherwise skip gloo and hang on the
+        # first cross-process psum; setting the flag is harmless when
+        # the resolved backend turns out to be TPU.
         try:
             jax.config.update("jax_cpu_collectives_implementation",
                               "gloo")

@@ -55,17 +55,27 @@ def _axis_offsets(n: int, tile: int, stride: int) -> tuple:
     return tuple(min(i * stride, n - tile) for i in range(k))
 
 
-def plan_tiles(h: int, w: int, tile: int, halo: int):
+def plan_tiles(h: int, w: int, tile: int, halo: int,
+               tile_w: Optional[int] = None):
     """Tile plan over an H×W LR frame: ((tile_h, tile_w), oys, oxs) —
     per-axis tile sizes (clamped to the frame) and clamped offsets.
-    Every (oy, ox, tile_h, tile_w) window lies inside the frame."""
-    stride = tile - 2 * halo
-    if stride <= 0:
-        raise ValueError(f"tile {tile} must exceed 2*halo ({2 * halo})")
-    tile_h, tile_w = min(tile, h), min(tile, w)
+    Every (oy, ox, tile_h, tile_w) window lies inside the frame.
+
+    ``tile`` is the tile height; ``tile_w`` (default: square tiles) makes
+    the grid rectangular.  Full-height COLUMN tiling — ``tile >= h`` with
+    a narrow ``tile_w`` — is the preferred 2K geometry: the fused kernel
+    streams rows with the upward-halo carry, so vertical extent inside a
+    tile costs zero recompute, and a column grid pays overlap waste on
+    one axis only (1.125× vs 1.266× for 384² tiles on a 2048² frame)."""
+    tile_w = tile if tile_w is None else tile_w
+    tile_h = tile
+    for t in (tile_h, tile_w):
+        if t - 2 * halo <= 0:
+            raise ValueError(f"tile {t} must exceed 2*halo ({2 * halo})")
+    tile_h, tile_w = min(tile_h, h), min(tile_w, w)
     return ((tile_h, tile_w),
-            _axis_offsets(h, tile_h, stride),
-            _axis_offsets(w, tile_w, stride))
+            _axis_offsets(h, tile_h, tile_h - 2 * halo),
+            _axis_offsets(w, tile_w, tile_w - 2 * halo))
 
 
 def _ramp(t_hr: int, ramp_len: int) -> np.ndarray:
@@ -88,13 +98,18 @@ def blend_window(tile: int, halo: int, scale: int,
                     _ramp(tile_w * scale, ramp_len))[..., None]
 
 
-def _weight_map(oys: Sequence[int], oxs: Sequence[int], tile_h: int,
-                tile_w: int, halo: int, scale: int, h_hr: int,
-                w_hr: int) -> np.ndarray:
-    """Accumulated blend-weight canvas for the actual (clamped) offsets.
-    The 2-D window is an outer product and the offset grid factorizes per
-    axis, so the sum of shifted windows separates into an outer product
-    of 1-D shifted-ramp sums."""
+def _weight_profiles(oys: Sequence[int], oxs: Sequence[int], tile_h: int,
+                     tile_w: int, halo: int, scale: int, h_hr: int,
+                     w_hr: int) -> tuple:
+    """Per-axis accumulated blend-weight profiles for the actual
+    (clamped) offsets.  The 2-D window is an outer product and the
+    offset grid factorizes per axis, so the full (h_hr, w_hr) weight
+    canvas separates into an outer product of these two 1-D
+    shifted-ramp sums — which is why only the PROFILES (a few KB) ever
+    leave the host: the blend jit reconstitutes the outer product
+    on-device instead of uploading an h_hr×w_hr fp32 canvas (268 MB for
+    an 8K SR frame — measured to dominate frame time when the tunnel's
+    host→device bandwidth dips)."""
     ramp_len = 2 * halo * scale
 
     def profile(offsets, t_hr, n_hr):
@@ -104,8 +119,18 @@ def _weight_map(oys: Sequence[int], oxs: Sequence[int], tile_h: int,
             p[o * scale:o * scale + t_hr] += w1
         return p
 
-    return np.outer(profile(oys, tile_h * scale, h_hr),
-                    profile(oxs, tile_w * scale, w_hr))[..., None]
+    return (profile(oys, tile_h * scale, h_hr),
+            profile(oxs, tile_w * scale, w_hr))
+
+
+def _weight_map(oys: Sequence[int], oxs: Sequence[int], tile_h: int,
+                tile_w: int, halo: int, scale: int, h_hr: int,
+                w_hr: int) -> np.ndarray:
+    """Accumulated blend-weight canvas (host-side reference form; the
+    production path keeps the factors separate — ``_weight_profiles``)."""
+    py, px = _weight_profiles(oys, oxs, tile_h, tile_w, halo, scale,
+                              h_hr, w_hr)
+    return np.outer(py, px)[..., None]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w"))
@@ -114,12 +139,13 @@ def _extract_tiles_jit(lr, oys, oxs, *, tile_h, tile_w):
         lr, (oy, ox, 0), (tile_h, tile_w, lr.shape[-1])))(oys, oxs)
 
 
-def extract_tiles(lr: jnp.ndarray, tile: int, halo: int):
+def extract_tiles(lr: jnp.ndarray, tile: int, halo: int,
+                  tile_w: Optional[int] = None):
     """(H, W, C) → (n_tiles, T_h, T_w, C), every tile a true sub-window
     of the frame — one compiled vmap-of-dynamic_slice per (frame shape,
     tile plan), not n_tiles eagerly dispatched slices."""
     h, w, c = lr.shape
-    (tile_h, tile_w), oys, oxs = plan_tiles(h, w, tile, halo)
+    (tile_h, tile_w), oys, oxs = plan_tiles(h, w, tile, halo, tile_w)
     grid = [(oy, ox) for oy in oys for ox in oxs]
     oy_arr = jnp.asarray([g[0] for g in grid], jnp.int32)
     ox_arr = jnp.asarray([g[1] for g in grid], jnp.int32)
@@ -136,6 +162,7 @@ def tiled_upscale(
         halo: int = 8,
         tile_batch: int = 8,
         mesh: Optional[Mesh] = None,
+        tile_w: Optional[int] = None,
 ) -> jnp.ndarray:
     """Upscale an (H, W, C) normalized LR frame by ×``scale``.
 
@@ -156,10 +183,11 @@ def tiled_upscale(
     Closed-over (constant) params replicate automatically.
     """
     h, w, c = lr.shape
-    if h <= tile and w <= tile:
+    if h <= tile and w <= (tile if tile_w is None else tile_w):
         return infer_fn(lr[None])[0]
 
-    tiles, ((tile_h, tile_w), oys, oxs) = extract_tiles(lr, tile, halo)
+    tiles, ((tile_h, tile_w), oys, oxs) = extract_tiles(lr, tile, halo,
+                                                        tile_w)
     n_tiles = tiles.shape[0]
 
     # pad the tile batch to a full multiple (and to the mesh) — static shape
@@ -178,24 +206,34 @@ def tiled_upscale(
     sr_tiles = jnp.concatenate(sr_chunks)[:n_tiles]
 
     grid = [(oy, ox) for oy in oys for ox in oxs]
+    ramp_len = 2 * halo * scale
+    py, px = _weight_profiles(oys, oxs, tile_h, tile_w, halo, scale,
+                              h * scale, w * scale)
     return _blend_scatter(
         sr_tiles,
-        jnp.asarray(blend_window(tile_h, halo, scale, tile_w)),
-        jnp.asarray(_weight_map(oys, oxs, tile_h, tile_w, halo, scale,
-                                h * scale, w * scale)),
+        jnp.asarray(_ramp(tile_h * scale, ramp_len)),
+        jnp.asarray(_ramp(tile_w * scale, ramp_len)),
+        jnp.asarray(py), jnp.asarray(px),
         jnp.asarray([g[0] * scale for g in grid], jnp.int32),
         jnp.asarray([g[1] * scale for g in grid], jnp.int32),
         h_hr=h * scale, w_hr=w * scale)
 
 
 @functools.partial(jax.jit, static_argnames=("h_hr", "w_hr"))
-def _blend_scatter(sr_tiles, window, wmap, oys_hr, oxs_hr, *, h_hr, w_hr):
+def _blend_scatter(sr_tiles, wy, wx, py, px, oys_hr, oxs_hr, *,
+                   h_hr, w_hr):
     """One compiled scatter-blend for the whole frame (SURVEY.md §7 stage
     6): window-weight every tile, lax.scan a dynamic-update-slice
     accumulation over the tile grid, divide by the offset-exact weight
     map.  Replaces ~2·n_tiles eagerly dispatched host ops per frame with
-    a single cached jit call per (frame shape, plan)."""
+    a single cached jit call per (frame shape, plan).
+
+    The blend window and the weight map are both separable outer
+    products, so only their 1-D factors (``wy``/``wx`` ramps and
+    ``py``/``px`` accumulated profiles) cross the host→device boundary
+    — a few KB instead of an h_hr×w_hr fp32 canvas per frame."""
     t_h, t_w, c = sr_tiles.shape[1:]
+    window = (wy[:, None] * wx[None, :])[..., None]
     weighted = (sr_tiles * window).astype(jnp.float32)
     canvas = jnp.zeros((h_hr, w_hr, c), jnp.float32)
 
@@ -206,4 +244,5 @@ def _blend_scatter(sr_tiles, window, wmap, oys_hr, oxs_hr, *, h_hr, w_hr):
                                             (oy, ox, 0)), None
 
     canvas, _ = jax.lax.scan(body, canvas, (weighted, oys_hr, oxs_hr))
+    wmap = (py[:, None] * px[None, :])[..., None]
     return canvas / jnp.maximum(wmap, 1e-8)

@@ -47,6 +47,7 @@ def test_train_cli_writes_checkpoint(data_dir, tmp_path):
     assert os.path.isdir(os.path.join(ck, "2"))
 
 
+@pytest.mark.fast
 def test_upscale_cli_pth(data_dir, small_pth, tmp_path, capsys):
     out = str(tmp_path / "sr.png")
     rc = main(["upscale", "--image", os.path.join(data_dir, "im0.png"),

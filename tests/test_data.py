@@ -41,6 +41,7 @@ def test_normalize_matches_torchvision_semantics():
         np.testing.assert_allclose(out[..., c], ref, rtol=1e-5)
 
 
+@pytest.mark.fast
 def test_preprocess_batch_shapes_and_stats():
     hr = jnp.asarray(np.random.RandomState(2).randint(
         0, 256, (4, 32, 32, 3), dtype=np.uint8))
@@ -92,6 +93,7 @@ def image_dir(tmp_path):
     return str(tmp_path)
 
 
+@pytest.mark.fast
 def test_patch_loader_shapes_and_determinism(image_dir):
     cfg = DataConfig(dataset_dir=image_dir, hr_patch=32, batch_size=4,
                      n_workers=1)

@@ -52,6 +52,7 @@ def _leaves_close(a, b, atol):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol)
 
 
+@pytest.mark.fast
 def test_pretrain_step_sharded_equals_single_device():
     cfg = dp_cfg()
     batch = _batch(cfg)

@@ -1,5 +1,6 @@
 """Self-ensemble (×8 TTA) tests."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -9,6 +10,7 @@ from super_resolution_tpu.ops import self_ensemble
 from super_resolution_tpu.ops.ensemble import _dihedral, _dihedral_inv
 
 
+@pytest.mark.fast
 def test_dihedral_inverses():
     x = jnp.asarray(np.random.RandomState(0).rand(6, 10, 3),
                     dtype=jnp.float32)

@@ -24,6 +24,7 @@ def _cfg(d):
     return DataConfig(dataset_dir=d, hr_patch=16, batch_size=2, n_workers=0)
 
 
+@pytest.mark.fast
 def test_grain_loader_shapes_and_determinism(image_dir):
     a = iter(GrainPatchLoader(_cfg(image_dir), seed=1))
     b = iter(GrainPatchLoader(_cfg(image_dir), seed=1))

@@ -26,6 +26,7 @@ def _rgba(h=24, w=20, seed=0):
     return img
 
 
+@pytest.mark.fast
 def test_split_alpha_modes(tmp_path):
     rgba = _rgba()
     # RGBA: bands pass through untouched
@@ -69,6 +70,7 @@ def test_upscale_alpha_matches_pil_bicubic():
     assert np.abs(hr.astype(int) - np.asarray(ref, int)).max() <= 2
 
 
+@pytest.mark.fast
 def test_merge_alpha_shapes():
     sr = np.zeros((96, 80, 3), np.uint8)
     assert merge_alpha(sr, None, 4) is sr

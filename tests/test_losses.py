@@ -29,6 +29,7 @@ def test_bce_with_logits_matches_torch():
         np.testing.assert_allclose(ours, ref, rtol=1e-6)
 
 
+@pytest.mark.fast
 def test_ragan_losses_match_reference_recipe():
     """SURVEY.md §3.1: G: BCE(pf − mean(pr), 1);
     D: ½[BCE(pr − mean(pf), 1) + BCE(pf − mean(pr), 0)]."""
@@ -162,6 +163,7 @@ def test_l1():
     assert float(l1_loss(a, b)) == 1.5
 
 
+@pytest.mark.fast
 def test_feature_matching_loss_math_and_gradient():
     """Per-scale L1 normalized by the detached target magnitude; target
     side carries no gradient."""

@@ -19,6 +19,7 @@ from super_resolution_tpu.metrics import (
 )
 
 
+@pytest.mark.fast
 def test_ssim_identity_is_one():
     x = jnp.asarray(np.random.RandomState(0).rand(32, 32, 3),
                     dtype=jnp.float32)
@@ -53,6 +54,7 @@ def test_rgb_to_y_bt601():
     assert float(rgb_to_y(black)[0, 0]) == pytest.approx(16 / 255, abs=1e-3)
 
 
+@pytest.mark.fast
 def test_eval_metrics_keys():
     x = jnp.asarray(np.random.RandomState(3).rand(16, 16, 3),
                     dtype=jnp.float32)

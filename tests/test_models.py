@@ -15,6 +15,7 @@ def _n_params(tree):
     return sum(x.size for x in jax.tree.leaves(tree))
 
 
+@pytest.mark.fast
 def test_canonical_generator_param_count():
     g = RRDBNet(GeneratorConfig())
     params = jax.eval_shape(
@@ -22,6 +23,7 @@ def test_canonical_generator_param_count():
     assert _n_params(params) == 16_697_987
 
 
+@pytest.mark.fast
 def test_generator_output_shape_and_scale():
     cfg = GeneratorConfig(n_blocks=1, filters=16, growth=8)
     g = RRDBNet(cfg)

@@ -207,20 +207,26 @@ def _run_train_proc(root, tmp_path, port, pid, nproc, local_devices,
          "--data_parallel", str(nproc * local_devices), "--multihost",
          "--coordinator", f"127.0.0.1:{port}",
          "--num_processes", str(nproc), "--process_id", str(pid),
-         "--checkpoint_dir", str(tmp_path / f"ck_{tag}")],
+         "--checkpoint_dir", str(tmp_path / f"ck_{tag}"),
+         "--log_dir", str(tmp_path / f"log_{tag}")],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env)
 
 
-def _step2_metrics(out: str) -> dict:
-    """Parse the '[warmup step 2] k=v ...' line into {k: float}."""
-    import re
+def _step2_metrics(log_dir) -> dict:
+    """Read the step-2 record from metrics.jsonl — full-precision
+    doubles, unlike the '%.4g' stdout line whose quantization alone can
+    reach ~1e-3 relative near a rounding boundary (ADVICE round 3)."""
+    import json
 
-    for line in out.splitlines():
-        if "warmup step 2]" in line:
-            return {m.group(1): float(m.group(2)) for m in
-                    re.finditer(r"(\w+)=([-\d.e+]+)", line)}
-    raise AssertionError(f"no step-2 log line in:\n{out[-2000:]}")
+    path = os.path.join(str(log_dir), "metrics.jsonl")
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("step") == 2 and rec.get("prefix") == "train":
+                return {k: v for k, v in rec.items()
+                        if isinstance(v, float)}
+    raise AssertionError(f"no step-2 train record in {path}")
 
 
 def test_cli_multihost_two_process_handshake(tmp_path):
@@ -231,21 +237,29 @@ def test_cli_multihost_two_process_handshake(tmp_path):
     metrics — the global-batch-semantics contract across the DCN
     boundary, not just within one process."""
     root = _write_images(tmp_path, size=64)
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-
-    procs = [_run_train_proc(root, tmp_path, port, pid, 2, 2, "two")
-             for pid in range(2)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
-    assert all(p.returncode == 0 for p in procs), \
-        f"p0:\n{outs[0][-1500:]}\np1:\n{outs[1][-1500:]}"
+    # bind/close/reuse of an ephemeral port is a TOCTOU race (another
+    # process can claim it between close and the coordinator's bind) —
+    # retry the whole launch once on a coordinator bind failure.
+    for attempt in range(2):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = [_run_train_proc(root, tmp_path, port, pid, 2, 2, "two")
+                 for pid in range(2)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+        if all(p.returncode == 0 for p in procs):
+            break
+        bind_race = any("address already in use" in o.lower()
+                        for o in outs)
+        assert bind_race and attempt == 0, \
+            f"p0:\n{outs[0][-1500:]}\np1:\n{outs[1][-1500:]}"
 
     # primary-only side effects: step logs come from process 0 only
-    got = _step2_metrics(outs[0])
+    got = _step2_metrics(tmp_path / "log_two")
+    assert "warmup step 2]" in outs[0], outs[0][-1000:]
     assert "warmup step 2]" not in outs[1], outs[1][-1000:]
 
     # collective checkpoint landed and is loadable
@@ -258,7 +272,7 @@ def test_cli_multihost_two_process_handshake(tmp_path):
     p = _run_train_proc(root, tmp_path, port1, 0, 1, 4, "one")
     out, _ = p.communicate(timeout=900)
     assert p.returncode == 0, out[-1500:]
-    want = _step2_metrics(out)
+    want = _step2_metrics(tmp_path / "log_one")
 
     assert set(got) == set(want)
     for k in want:

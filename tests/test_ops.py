@@ -1,8 +1,10 @@
 """Op-level tests: fused upsample-conv polyphase algebra."""
 
+import pytest
 import numpy as np
 
 
+@pytest.mark.fast
 def test_nearest_up_conv_matches_naive():
     """Polyphase nearest-up+conv == repeat→3×3 SAME conv exactly
     (boundary semantics included) — the tail-fusion algebra."""

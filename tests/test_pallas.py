@@ -238,6 +238,7 @@ def test_fused_dense_block_cf5_matches_lax(shape, rows):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.fast
 def test_fused_dense_block_cf5_save_acts():
     """The save_acts activations (custom-VJP residuals) must equal the
     lax path's intermediate LeakyReLU outputs."""
@@ -871,6 +872,7 @@ def test_rrdbnet_pallas_cf_folds_unaligned_width():
                                    atol=1e-4, rtol=2e-3)
 
 
+@pytest.mark.fast
 def test_training_cfg_fold_routing():
     """_training_cfg keeps pallas_cf at unaligned widths when the
     batch-to-lane fold applies (single device, batch divisible by g) and
@@ -897,6 +899,7 @@ def test_training_cfg_fold_routing():
     assert _training_cfg(al).generator.conv_impl == "pallas_cf"
 
 
+@pytest.mark.fast
 def test_cf9_dispatch_selection():
     """partitioned._fwd_kernel routes the fused forward to the
     dy-extended v9 kernel only when CF9_ENABLED is on, the width passes
@@ -1265,6 +1268,7 @@ def test_fwd_carry_v9_matches_classic(save_acts, geom):
                                    atol=1e-6, rtol=1e-6)
 
 
+@pytest.mark.fast
 def test_shipping_kernel_knob_defaults():
     """The shipped trace-time knob configuration IS the measured-winner
     config from the round-3 on-chip campaign (BENCHNOTES round-3

@@ -45,6 +45,7 @@ def test_generator_parity(upsampler):
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.fast
 def test_generator_parity_full_size_single_block():
     """Full-width (nf=64, gc=32) single-block generator — exercises the
     canonical channel widths without the 23-block compile cost."""
@@ -59,6 +60,7 @@ def test_generator_parity_full_size_single_block():
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.fast
 def test_discriminator_parity_eval():
     torch.manual_seed(2)
     tm = DiscriminatorTorch()

@@ -33,6 +33,7 @@ def test_bicubic_matches_pil_float(hw_in, hw_out):
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+@pytest.mark.fast
 def test_bicubic_uint8_path_within_quantization():
     """The reference resizes uint8 PIL images then ToTensor()s (÷255).
     PIL's uint8 path uses fixed-point int16 coefficients + rounding, so it
@@ -48,6 +49,7 @@ def test_bicubic_uint8_path_within_quantization():
     assert np.abs(out - ref).max() <= 2.0 / 255.0
 
 
+@pytest.mark.fast
 def test_downsample_preserves_constant():
     x = jnp.full((1, 64, 64, 3), 0.37)
     y = bicubic_downsample(x, 4)

@@ -1,6 +1,7 @@
 """Overlap-blend tiling tests (SURVEY.md §4.3): window partition-of-unity,
 tiled == whole-frame equivalence, odd sizes, mesh-sharded tiles."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -16,6 +17,7 @@ from super_resolution_tpu.parallel import (
 )
 
 
+@pytest.mark.fast
 def test_blend_window_partition_of_unity():
     """Adjacent windows at stride S must sum to exactly 1 in the overlap
     (SURVEY.md §5.7: 'window weights sum to 1 everywhere')."""
@@ -55,6 +57,7 @@ def _small_gen():
     return fn, whole
 
 
+@pytest.mark.fast
 def test_tiled_matches_whole_frame():
     """Core equivalence (SURVEY.md §4.3): with halo ≥ effective receptive
     field the blend is indistinguishable from the whole-frame result."""
@@ -140,6 +143,52 @@ def test_tiled_large_frame_smoke():
     out = tiled_upscale(fn, img, scale=4, tile=96, halo=8, tile_batch=8)
     assert out.shape == (2048, 2048, 3)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_plan_tiles_rectangular_and_column():
+    """tile_w makes the grid rectangular; tile >= h with a narrow tile_w
+    is full-height column tiling (one offset row, overlap waste on the
+    x axis only)."""
+    (t_h, t_w), oys, oxs = plan_tiles(200, 300, 64, 4, tile_w=40)
+    assert (t_h, t_w) == (64, 40)
+    assert oys[-1] == 200 - 64 and oxs[-1] == 300 - 40
+    # column tiling: tile height covers the frame
+    (t_h, t_w), oys, oxs = plan_tiles(100, 300, 128, 4, tile_w=48)
+    assert (t_h, t_w) == (100, 48)
+    assert oys == (0,)
+    cov = np.zeros(300, bool)
+    for ox in oxs:
+        cov[ox:ox + 48] = True
+    assert cov.all()
+
+
+@pytest.mark.fast
+def test_tiled_column_matches_whole_frame():
+    """Full-height column tiling (the preferred 2K geometry — overlap
+    waste on one axis only) must equal whole-frame inference like square
+    tiling does."""
+    fn, whole = _small_gen()
+    img = jax.random.normal(jax.random.key(7), (64, 96, 3)) * 0.5
+    ref = np.asarray(whole(img))
+    out = np.asarray(tiled_upscale(fn, img, scale=4, tile=64, halo=20,
+                                   tile_batch=2, tile_w=72))
+    assert out.shape == ref.shape == (256, 384, 3)
+    np.testing.assert_allclose(out, ref, atol=5e-4)
+    # borders too (the clamped-grid exactness contract)
+    np.testing.assert_allclose(out[:, :8], ref[:, :8], atol=5e-4)
+    np.testing.assert_allclose(out[:, -8:], ref[:, -8:], atol=5e-4)
+
+
+def test_tiled_rectangular_matches_square():
+    """A rectangular grid (both axes tiled, tile_h != tile_w) agrees with
+    the square-tile result to blend tolerance."""
+    fn, _ = _small_gen()
+    img = jax.random.normal(jax.random.key(8), (96, 96, 3)) * 0.5
+    sq = np.asarray(tiled_upscale(fn, img, scale=4, tile=72, halo=20,
+                                  tile_batch=2))
+    rect = np.asarray(tiled_upscale(fn, img, scale=4, tile=72, halo=20,
+                                    tile_batch=2, tile_w=64))
+    np.testing.assert_allclose(rect, sq, atol=1e-3)
 
 
 def test_tiled_mesh_sharded_matches_single_device():

@@ -56,6 +56,7 @@ def _batches(cfg, n, seed=0):
     return [next(it) for _ in range(n)]
 
 
+@pytest.mark.fast
 def test_pretrain_loss_decreases():
     cfg = tiny_cfg()
     step = make_pretrain_step(cfg)
@@ -75,6 +76,7 @@ def test_pretrain_loss_decreases():
     assert int(jax.device_get(state.step)) == 60
 
 
+@pytest.mark.fast
 def test_gan_step_runs_and_updates_everything():
     cfg = tiny_cfg()
     state = init_state(cfg)
@@ -143,6 +145,7 @@ def test_train_loop_smoke_and_warmup_switch(tmp_path):
     assert int(jax.device_get(state.step)) == 4
 
 
+@pytest.mark.fast
 def test_checkpoint_resume_equivalence(tmp_path):
     """Stop/save/restore/continue must equal an uninterrupted run
     (SURVEY.md §4.5, §5.3)."""

@@ -3,6 +3,7 @@ path): torchvision-layout .pth → tools/convert_vgg.py → npz →
 load_vgg_params → Flax forward parity with the torch-side spec."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax.numpy as jnp
@@ -38,6 +39,7 @@ def test_convert_vgg_roundtrip(tmp_path):
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.fast
 def test_load_vgg_params_rejects_empty(tmp_path):
     import pytest
 

@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--frame", type=int, default=2048,
                     help="LR frame size (square)")
     ap.add_argument("--tile", type=int, default=384)
+    ap.add_argument("--tile_w", type=int, default=None,
+                    help="rectangular tiles; --tile >= frame height with "
+                         "a narrow --tile_w = full-height column tiling "
+                         "(overlap waste on one axis only)")
     ap.add_argument("--halo", type=int, default=8)
     ap.add_argument("--tile_batch", type=int, default=2)
     ap.add_argument("--conv_impl", default="pallas_cf")
@@ -76,7 +80,7 @@ def main():
     def run():
         sr = tiled_upscale(lambda x: infer(params, x), lr, scale=cfg.scale,
                            tile=args.tile, halo=args.halo,
-                           tile_batch=args.tile_batch)
+                           tile_batch=args.tile_batch, tile_w=args.tile_w)
         return float(jax.device_get(jnp.mean(sr)))   # scalar sync
 
     t0 = time.perf_counter()
@@ -91,9 +95,11 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     out_mp = (args.frame * cfg.scale) ** 2 / 1e6
+    tw = args.tile if args.tile_w is None else args.tile_w
     print(f"[tiled] {args.frame}x{args.frame} LR -> "
           f"{args.frame * cfg.scale}² SR ({args.conv_impl}, "
-          f"tile={args.tile} halo={args.halo} batch={args.tile_batch}): "
+          f"tile={args.tile}x{tw} halo={args.halo} "
+          f"batch={args.tile_batch}): "
           f"{best:.3f} s/frame = {out_mp / best:.2f} MP/s/chip")
 
 
