@@ -78,6 +78,16 @@ from super_resolution_tpu.ops.pallas.dense_block_cf import (
 # Read at trace time — set before the first traced call in a process.
 DMA_IN_ENABLED = True
 
+# Run the train-path kernels under Pallas' GENERIC interpreter (read at
+# trace time).  This is the only interpret mode that composes with
+# custom_partitioning on a multi-device mesh: pltpu.force_tpu_interpret_
+# mode() lowers every pallas_call through an ordered io_callback, whose
+# OrderedIOEffect the SPMD partitioner refuses to stage — so CPU-mesh
+# tests of DP × kernel training (tests/test_dp.py) set INTERPRET=True
+# (plus the DMA/carry/v9 knobs OFF: manual DMAs need the TPU
+# interpreter) and clear jit caches.  Never set on TPU.
+INTERPRET = False
+
 # Backward band-height lane caps, read at TRACE time by _bwd_rows (set
 # before the first traced call, like DMA_IN_ENABLED).  The aligned cap
 # bounds rows·w under DMA input delivery; 3072 (= rows=8 at the folded
@@ -660,6 +670,7 @@ def dense_block_cf_train(x, weights, biases, rows, res_scale, slope,
     )
 
     fn = partitioned_dense_block(len(weights), rows, res_scale, slope,
+                                 interpret=INTERPRET,
                                  img_w=img_w, flat_h=flat_h)
     return fn(x, *weights, *biases)
 
@@ -673,7 +684,8 @@ def _train_fwd(x, weights, biases, rows, res_scale, slope, img_w=None,
     )
 
     res = partitioned_dense_block_fwd(len(weights), rows, res_scale,
-                                      slope, img_w=img_w,
+                                      slope, interpret=INTERPRET,
+                                      img_w=img_w,
                                       flat_h=flat_h)(
         x, *weights, *biases)
     y, acts = res[0], res[1:]
@@ -695,7 +707,7 @@ def _train_bwd(rows, res_scale, slope, img_w, flat_h, residuals, g):
     else:
         h, w = x.shape[2], x.shape[3]
     res = partitioned_dense_block_bwd(
-        n, _bwd_rows(h, w, rows), res_scale, slope,
+        n, _bwd_rows(h, w, rows), res_scale, slope, interpret=INTERPRET,
         img_w=img_w, flat_h=flat_h)(x, *acts, g, *weights)
     dx, dws, dbs = res[0], res[1:1 + n], res[1 + n:]
     # cotangent dtypes must match the primal inputs (weights may be bf16)

@@ -69,12 +69,22 @@ def _training_cfg(cfg: TrainConfig) -> TrainConfig:
     a multiple of 128, or the model's batch-to-lane fold
     (models/rrdb._fold_factor) can make it one — at the canonical 192²
     patches (W=48) the fold packs g=8 images per lane row
-    (BENCHNOTES.md round 3).  Folding is kept off under data
-    parallelism: the fold reshape crosses batch shards, so DP training
-    at unaligned widths stays on lax (the round-2 status quo).  The
-    experimental ``pallas``/``pallas_fused`` paths define no VJP and
-    always fall back.  The param tree is implementation-agnostic either
-    way, so checkpoints swap freely."""
+    (BENCHNOTES.md round 3).
+
+    Fold × data parallelism (round 4): the fold reshape groups g
+    CONSECUTIVE batch images, and batch sharding places contiguous
+    blocks of B/dp images per device — so when the local batch divides
+    by g (B % (g·dp) == 0), every fold group is shard-local, GSPMD
+    partitions the (B → B/g, g) split reshape with zero communication,
+    and the folded trunk stays on the kernel under DP (the
+    custom_partitioning seam in ops/pallas/partitioned.py sees the
+    folded batch dim sharded and runs per shard as usual).  At the
+    canonical config-5 shape (192² patches, W=48 → g=8) that means a
+    global batch of 64+ over 8 chips keeps the kernel's training win;
+    smaller batches fall back to lax (a fold group would straddle
+    shards).  The experimental ``pallas``/``pallas_fused`` paths define
+    no VJP and always fall back.  The param tree is
+    implementation-agnostic either way, so checkpoints swap freely."""
     import dataclasses
 
     from super_resolution_tpu.config import resolve_conv_impl
@@ -94,7 +104,9 @@ def _training_cfg(cfg: TrainConfig) -> TrainConfig:
         g = _fold_factor(cfg.data.batch_size, lr_w)
         c_total = cfg.generator.filters \
             + (cfg.generator.n_dense_convs - 1) * cfg.generator.growth
-        if (cfg.data_parallel <= 1 and g > 1
+        dp = max(cfg.data_parallel, 1)
+        if (g > 1
+                and cfg.data.batch_size % (g * dp) == 0
                 and _pick_rows(lr_h, g * lr_w, c_total=c_total)
                 is not None):
             return cfg

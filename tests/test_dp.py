@@ -208,6 +208,79 @@ def test_partitioned_dense_block_grads_match_single_device():
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_fold_engaged_dp_training_matches_single_device():
+    """DP × batch-to-lane fold (round-3 VERDICT item 2 / BASELINE
+    config 5): at the canonical unaligned patch width (192² HR → LR
+    W=48, g=8) with the local batch divisible by g, _training_cfg keeps
+    pallas_cf, the model's fold reshape partitions shard-locally, and
+    the sharded step reproduces single-device grads exactly.
+
+    Knob hygiene: the manual-DMA delivery, the halo carries, and the v9
+    dy-extension all stage ordered-IO effects that custom_partitioning
+    cannot lower on a mesh off-hardware, so this test runs the kernels
+    under the GENERIC Pallas interpreter (dense_block_cf_vjp.INTERPRET)
+    with those knobs off — the partitioning seam and the fold reshape
+    (what this test is about) are identical; the knobs' numerics are
+    covered by test_pallas.py and on-chip by verify_grads_onchip."""
+    import dataclasses
+
+    from super_resolution_tpu.ops.pallas import (
+        dense_block_cf,
+        dense_block_cf_vjp,
+        partitioned,
+    )
+    from super_resolution_tpu.train.steps import _training_cfg
+
+    saved = (dense_block_cf.DMA_IN_ENABLED,
+             dense_block_cf_vjp.DMA_IN_ENABLED,
+             dense_block_cf.FWD_CARRY_ENABLED,
+             dense_block_cf_vjp.BWD_CARRY_ENABLED,
+             partitioned.CF9_ENABLED,
+             dense_block_cf_vjp.INTERPRET,
+             dense_block_cf.flat_io_ok)
+    try:
+        dense_block_cf.DMA_IN_ENABLED = False
+        dense_block_cf_vjp.DMA_IN_ENABLED = False
+        dense_block_cf.FWD_CARRY_ENABLED = False
+        dense_block_cf_vjp.BWD_CARRY_ENABLED = False
+        partitioned.CF9_ENABLED = False
+        dense_block_cf_vjp.INTERPRET = True
+        # flat chaining's output DMAs need the TPU interpreter too
+        dense_block_cf.flat_io_ok = lambda *a, **k: False
+        jax.clear_caches()
+
+        cfg = dataclasses.replace(
+            dp_cfg(),
+            generator=GeneratorConfig(n_blocks=1, filters=16, growth=8,
+                                      conv_impl="pallas_cf"),
+            data=DataConfig(hr_patch=192, batch_size=16, n_workers=1),
+            data_parallel=2,
+        )
+        # routing really keeps the kernel: W=48, g=8, 16 % (8·2) == 0
+        assert _training_cfg(cfg).generator.conv_impl == "pallas_cf"
+
+        batch = _batch(cfg)
+        step = make_pretrain_step(cfg)
+        s1, m1 = step(init_state(cfg), batch)
+
+        mesh = make_mesh(2)
+        s2, m2 = step(shard_state(init_state(cfg), mesh),
+                      jax.device_put(batch, batch_sharded(mesh)))
+
+        np.testing.assert_allclose(float(m2["loss_pixel"]),
+                                   float(m1["loss_pixel"]), atol=1e-6)
+        _leaves_close(s1.g_params, s2.g_params, atol=1e-5)
+    finally:
+        (dense_block_cf.DMA_IN_ENABLED,
+         dense_block_cf_vjp.DMA_IN_ENABLED,
+         dense_block_cf.FWD_CARRY_ENABLED,
+         dense_block_cf_vjp.BWD_CARRY_ENABLED,
+         partitioned.CF9_ENABLED,
+         dense_block_cf_vjp.INTERPRET,
+         dense_block_cf.flat_io_ok) = saved
+        jax.clear_caches()
+
+
 def test_partitioned_dense_block_flat_builders():
     """DP × flat padded chaining (round 3): the rank-3 flat layout's
     custom_partitioning builders must construct (Shardy rule strings
