@@ -152,6 +152,19 @@ def _inference_mesh(cfg, g_params):
     return mesh, jax.device_put(g_params, replicated(mesh))
 
 
+def _tile_align(cfg):
+    """Effective-tile alignment for tiled_upscale: when the fused-kernel
+    path is active, clamp tile sizes to (8-row bands, 128 lanes) so
+    misaligned frame sizes keep the aligned kernels engaged (v9/carries/
+    flat chaining gate on W % 128 == 0 — misaligned whole frames
+    measured 17.8 vs 29+ MP/s, BENCHNOTES round 3).  None on the lax
+    path: alignment buys nothing there and costs overlap recompute."""
+    from super_resolution_tpu.config import resolve_conv_impl
+
+    impl = resolve_conv_impl(cfg.generator.conv_impl)
+    return (8, 128) if impl in ("pallas_cf", "pallas_cf_tail") else None
+
+
 def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--preset", choices=("infer_single", "pretrain_psnr",
                                         "train_gan", "train_gan_dfm",
@@ -449,6 +462,7 @@ def main(argv=None):
                 lambda x: infer(g_params, x), img,
                 scale=cfg.generator.scale, tile=args.tile,
                 halo=args.halo, tile_w=args.tile_w,
+                align=_tile_align(cfg),
                 tile_batch=args.tile_batch, mesh=mesh)
             if args.self_ensemble:
                 from super_resolution_tpu.ops import self_ensemble
@@ -508,6 +522,7 @@ def main(argv=None):
             srn = tiled_upscale(lambda x: infer(g_params, x), lrn,
                                 scale=cfg.generator.scale, tile=args.tile,
                                 halo=args.halo, tile_w=args.tile_w,
+                                align=_tile_align(cfg),
                                 tile_batch=args.tile_batch, mesh=mesh)
             return np.asarray(to_uint8_image(srn, cfg.data))
 

@@ -105,7 +105,18 @@ def _fold_factor(batch: int, w: int) -> int:
     return g if batch % g == 0 else 1
 
 
-def _pick_rows(h: int, w: int, cap: int = 4096, c_total: int = 192):
+# Forward band-height lane cap, read at TRACE time by _pick_rows (the
+# same convention as dense_block_cf_vjp.BWD_LANE_CAP_*): rows·w must
+# stay under cap+1024 lanes with DMA delivery.  4096 is the
+# everywhere-validated size — rows=16 at the folded W=384 save-acts
+# geometry (6144 lanes) overflowed scoped VMEM by 564 KB inside the full
+# train-step jit (BENCHNOTES round 3).  Tools raise it (--fwd_cap) to
+# re-probe pure-inference contexts, whose VMEM margins are larger (no
+# save-acts outputs, no surrounding grad graph).
+FWD_LANE_CAP = 4096
+
+
+def _pick_rows(h: int, w: int, cap: int | None = None, c_total: int = 192):
     """Band height for the channels-first Pallas kernels: the largest
     rows ∈ {32, 16, 8} dividing ``h`` with ``rows·w`` lanes under a
     VMEM budget — the kernels' fp32 accumulators and feature scratch
@@ -120,6 +131,7 @@ def _pick_rows(h: int, w: int, cap: int = 4096, c_total: int = 192):
     compiled standalone but overflowed by 564 KB inside larger jit
     contexts, and measured no faster than rows=8 anyway; BENCHNOTES.md
     round 3.)  None → lax."""
+    cap = FWD_LANE_CAP if cap is None else cap
     budget = cap * 192 // max(c_total, 1)
     dma_budget = (cap + 1024) * 192 // max(c_total, 1)
     for r in (32, 16, 8):

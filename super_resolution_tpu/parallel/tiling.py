@@ -163,6 +163,7 @@ def tiled_upscale(
         tile_batch: int = 8,
         mesh: Optional[Mesh] = None,
         tile_w: Optional[int] = None,
+        align: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Upscale an (H, W, C) normalized LR frame by ×``scale``.
 
@@ -176,6 +177,19 @@ def tiled_upscale(
     shift-and-blend grid, which is parity-exact at frame borders (module
     docstring).
 
+    ``align=(align_h, align_w)`` clamps the EFFECTIVE tile sizes down to
+    multiples of the given alignments when the frame exceeds them — the
+    fused-kernel fast paths gate on the plane geometry (H divisible by
+    the band rows, W % 128 == 0 for v9/carries/flat chaining;
+    BENCHNOTES round 3), so a misaligned 200²-style detector frame that
+    would otherwise run whole at a width that disables every aligned
+    kernel (measured 17.8 vs 29+ MP/s) instead runs as a few
+    aligned-width clamped tiles.  Zero-padding the frame was rejected:
+    conv biases make a zero-padded region non-zero after the first
+    layer, and that leaks back through later convs at the true frame
+    border — exactly where checkpoint parity is contractual.  The
+    clamped grid keeps borders exact by construction.
+
     With a ``mesh``, tiles are batch-sharded across it, so any params
     ``infer_fn`` takes as *jit arguments* must already be replicated over
     the same mesh (``jax.device_put(params, replicated(mesh))``) — mixing
@@ -183,7 +197,17 @@ def tiled_upscale(
     Closed-over (constant) params replicate automatically.
     """
     h, w, c = lr.shape
-    if h <= tile and w <= (tile if tile_w is None else tile_w):
+    tile_h = tile
+    tile_w = tile if tile_w is None else tile_w
+    if align is not None:
+        a_h, a_w = align
+        eff_h, eff_w = min(tile_h, h), min(tile_w, w)
+        if h > a_h and eff_h % a_h and a_h * (eff_h // a_h) > 2 * halo:
+            tile_h = a_h * (eff_h // a_h)
+        if w > a_w and eff_w % a_w and a_w * (eff_w // a_w) > 2 * halo:
+            tile_w = a_w * (eff_w // a_w)
+    tile, tile_w = tile_h, tile_w
+    if h <= tile and w <= tile_w:
         return infer_fn(lr[None])[0]
 
     tiles, ((tile_h, tile_w), oys, oxs) = extract_tiles(lr, tile, halo,

@@ -48,8 +48,15 @@ def evaluate_directory(
     Pass the already-jitted ``infer_fn`` when calling repeatedly (the
     in-loop eval does) — building a fresh jit closure per call would
     recompile the generator every time."""
+    from super_resolution_tpu.config import resolve_conv_impl
+
     scale = cfg.data.scale
     mean, std = cfg.data.normalize_mean, cfg.data.normalize_std
+    # clamp effective tiles to kernel-aligned sizes on the fused path so
+    # misaligned val-frame sizes keep the fast kernels engaged (the CLI
+    # applies the same rule — cli._tile_align)
+    align = ((8, 128) if resolve_conv_impl(cfg.generator.conv_impl)
+             in ("pallas_cf", "pallas_cf_tail") else None)
     infer = infer_fn if infer_fn is not None else make_infer_fn(cfg)
     if mesh is not None:
         from super_resolution_tpu.parallel import replicated
@@ -87,7 +94,8 @@ def evaluate_directory(
         lrn = normalize(lr01, mean, std)
         upscale = lambda img: tiled_upscale(          # noqa: E731
             fn, img, scale=scale, tile=tile, halo=halo,
-            tile_batch=tile_batch, mesh=mesh, tile_w=tile_w)
+            tile_batch=tile_batch, mesh=mesh, tile_w=tile_w,
+            align=align)
         if use_self_ensemble:
             from super_resolution_tpu.ops import self_ensemble
 

@@ -191,6 +191,37 @@ def test_tiled_rectangular_matches_square():
     np.testing.assert_allclose(rect, sq, atol=1e-3)
 
 
+def test_tiled_align_clamps_effective_tiles():
+    """align=(a_h, a_w) clamps the effective tile sizes to kernel-aligned
+    multiples when the frame exceeds them (misaligned whole frames lose
+    the aligned Pallas kernels — BENCHNOTES round-3 sixth session), and
+    the result still matches whole-frame inference to blend tolerance."""
+    fn, whole = _small_gen()
+    # 40×56 frame, align (8, 16) → effective tiles 40×48: x-axis tiled
+    img = jax.random.normal(jax.random.key(11), (40, 56, 3)) * 0.4
+    ref = np.asarray(whole(img))
+    out = np.asarray(tiled_upscale(fn, img, scale=4, tile=128, halo=8,
+                                   tile_batch=2, align=(8, 16)))
+    assert out.shape == ref.shape
+    err = np.abs(out - ref)
+    assert err.max() < 0.02, err.max()
+    # borders exact-ish (clamped grid contract)
+    np.testing.assert_allclose(out[:, :4], ref[:, :4], atol=1e-3)
+    np.testing.assert_allclose(out[:, -4:], ref[:, -4:], atol=1e-3)
+    # aligned frames are untouched: identical whole-frame path
+    img2 = jax.random.normal(jax.random.key(12), (40, 48, 3)) * 0.4
+    np.testing.assert_array_equal(
+        np.asarray(tiled_upscale(fn, img2, scale=4, tile=128, halo=8,
+                                 align=(8, 16))),
+        np.asarray(whole(img2)))
+    # frames too small to clamp (result would be <= 2*halo) run native
+    img3 = jax.random.normal(jax.random.key(13), (20, 20, 3)) * 0.4
+    np.testing.assert_array_equal(
+        np.asarray(tiled_upscale(fn, img3, scale=4, tile=128, halo=8,
+                                 align=(16, 16))),
+        np.asarray(whole(img3)))
+
+
 def test_tiled_mesh_sharded_matches_single_device():
     """DP-of-tiles over the 8-device mesh == single-device tiling
     (SURVEY.md §2.3 SP row)."""

@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--tile_batch", type=int, default=2)
     ap.add_argument("--conv_impl", default="pallas_cf")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--fwd_cap", type=int, default=None,
+                    help="override models.rrdb.FWD_LANE_CAP (e.g. 5120 "
+                         "admits rows=16 at W=384 — re-probing the VMEM "
+                         "margin in the pure-inference context)")
     ap.add_argument("--cf9", default=None,
                     action=argparse.BooleanOptionalAction,
                     help="route aligned-width fused forwards through "
@@ -57,6 +61,10 @@ def main():
     if args.fwd_carry is not None:
         from super_resolution_tpu.ops.pallas import dense_block_cf
         dense_block_cf.FWD_CARRY_ENABLED = args.fwd_carry
+
+    if args.fwd_cap is not None:
+        from super_resolution_tpu.models import rrdb
+        rrdb.FWD_LANE_CAP = args.fwd_cap
 
     if args.cf9 is not None:
         from super_resolution_tpu.ops.pallas import partitioned
