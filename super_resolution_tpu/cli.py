@@ -456,8 +456,11 @@ def main(argv=None):
         def upscale_one(src: str, dst: str):
             with Image.open(src) as im:
                 lr_u8, alpha_u8 = split_alpha(im)
-            lrn = normalize(jnp.asarray(lr_u8, jnp.float32) / 255.0,
-                            mean, std)
+            # ship uint8 and convert on device: the fp32 host conversion
+            # quadruples the H2D transfer (tunnel bandwidth measured as
+            # low as ~40 MB/s — 1 s/frame of pure upload at 2K)
+            lrn = normalize(jnp.asarray(lr_u8).astype(jnp.float32)
+                            / 255.0, mean, std)
             up = lambda img: tiled_upscale(
                 lambda x: infer(g_params, x), img,
                 scale=cfg.generator.scale, tile=args.tile,
@@ -517,8 +520,10 @@ def main(argv=None):
         mean, std = cfg.data.normalize_mean, cfg.data.normalize_std
 
         def upscale_u8(lr_u8):
-            lrn = normalize(jnp.asarray(lr_u8, jnp.float32) / 255.0,
-                            mean, std)
+            # uint8 upload + on-device conversion (see upscale: 4x less
+            # H2D traffic per frame)
+            lrn = normalize(jnp.asarray(lr_u8).astype(jnp.float32)
+                            / 255.0, mean, std)
             srn = tiled_upscale(lambda x: infer(g_params, x), lrn,
                                 scale=cfg.generator.scale, tile=args.tile,
                                 halo=args.halo, tile_w=args.tile_w,
