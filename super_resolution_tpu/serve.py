@@ -23,6 +23,13 @@ the output dir, and append a JSONL record (frame, shapes, seconds,
 MP/s) to ``serve_log.jsonl``.  A frame is reprocessed if its file
 changes (new mtime/size).  Files still being written are skipped until
 their size is stable across two polls.
+
+Geometry: the default square 384/b2 tile grid compiles ONE shape for
+mixed frame sizes.  A fixed-size stream (the usual detector case)
+should instead pass ``--tile <frame_h> --tile_w 128 --tile_batch 1`` —
+full-height column tiling, measured +10% (34.59 vs 31.24 MP/s/chip at
+2048², BENCHNOTES round-4 geometry campaign) at the cost of one
+compile per distinct frame height.
 """
 
 from __future__ import annotations

@@ -172,6 +172,11 @@ def main():
                           eval_dir=val_dir,
                           eval_interval=max(250, args.gan_steps // 4))
         models["gan"] = jax.device_get(gan_state.g_params)
+        if gan_state.g_ema is not None:
+            # the release shape (cli export, round-3 EMA write-side):
+            # eval the decay-0.999 weight average alongside the raw
+            # params — ESRGAN ships params_ema as the release weights
+            models["gan_ema"] = jax.device_get(gan_state.g_ema)
 
     # ---- comparison: bicubic vs every trained model ----
     def sharpness(img01):

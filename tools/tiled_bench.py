@@ -9,7 +9,10 @@ scalar (the SR mean): through the axon tunnel `block_until_ready` does
 not block and bulk fetches run at ~15 MB/s (BENCHNOTES.md), so the 8K
 output must stay on device.
 
-Usage: python tools/tiled_bench.py [--frame 2048] [--tile 384] [--halo 8]
+Usage: python tools/tiled_bench.py [--frame 2048] [--tile_w 128] [--halo 8]
+(defaults = the measured-winner full-height column geometry: tile_h =
+frame height, tile_w 128, batch 1 — BENCHNOTES round-4 geometry
+campaign, 34.59 MP/s/chip vs 31.24 for square 384/b2)
 """
 
 import argparse
@@ -35,13 +38,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frame", type=int, default=2048,
                     help="LR frame size (square)")
-    ap.add_argument("--tile", type=int, default=384)
-    ap.add_argument("--tile_w", type=int, default=None,
+    ap.add_argument("--tile", type=int, default=None,
+                    help="tile height (default: frame height — the "
+                         "measured-winner full-height column geometry, "
+                         "BENCHNOTES round 4)")
+    ap.add_argument("--tile_w", type=int, default=128,
                     help="rectangular tiles; --tile >= frame height with "
                          "a narrow --tile_w = full-height column tiling "
-                         "(overlap waste on one axis only)")
+                         "(overlap waste on one axis only). 128 admits "
+                         "the kernel's best rows/v9 geometry")
     ap.add_argument("--halo", type=int, default=8)
-    ap.add_argument("--tile_batch", type=int, default=2)
+    ap.add_argument("--tile_batch", type=int, default=1,
+                    help="1 for column tiles (a full-height column is "
+                         "already 256 pipeline bands; batching only adds "
+                         "HBM pressure — BENCHNOTES round 4)")
     ap.add_argument("--conv_impl", default="pallas_cf")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--fwd_cap", type=int, default=None,
@@ -58,6 +68,8 @@ def main():
                     help="enable the fused forward's upward-halo carry "
                          "(ops/pallas/dense_block_cf.FWD_CARRY_ENABLED)")
     args = ap.parse_args()
+    if args.tile is None:
+        args.tile = args.frame
     if args.fwd_carry is not None:
         from super_resolution_tpu.ops.pallas import dense_block_cf
         dense_block_cf.FWD_CARRY_ENABLED = args.fwd_carry
