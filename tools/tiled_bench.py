@@ -54,6 +54,10 @@ def main():
                          "HBM pressure — BENCHNOTES round 4)")
     ap.add_argument("--conv_impl", default="pallas_cf")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--decompose", action="store_true",
+                    help="additionally time the pipeline stages in "
+                         "isolation (extract / infer / blend) to "
+                         "attribute the end-to-end vs raw-rate gap")
     ap.add_argument("--fwd_cap", type=int, default=None,
                     help="override models.rrdb.FWD_LANE_CAP (e.g. 5120 "
                          "admits rows=16 at W=384 — re-probing the VMEM "
@@ -113,6 +117,71 @@ def main():
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)
+
+    if args.decompose:
+        # Re-run the pipeline stage by stage (same code paths the
+        # production tiled_upscale dispatches) and time each with the
+        # scalar-sync methodology, so the end-to-end residual over the
+        # raw kernel rate decomposes into extract / infer / blend.
+        from super_resolution_tpu.parallel.tiling import (
+            _blend_scatter, _ramp, _weight_profiles, extract_tiles,
+        )
+
+        def timed(fn, reps=args.reps):
+            fn()   # warm (stage jits are cached from the e2e runs)
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        tiles, ((t_h, t_w), oys, oxs) = extract_tiles(
+            lr, args.tile, args.halo, args.tile_w)
+        n_tiles = tiles.shape[0]
+        group = args.tile_batch
+        n_pad = (-n_tiles) % group
+        if n_pad:
+            tiles = jnp.concatenate(
+                [tiles, jnp.zeros((n_pad,) + tiles.shape[1:],
+                                  tiles.dtype)])
+        tiles = jax.block_until_ready(tiles)
+
+        def extract_only():
+            t, _ = extract_tiles(lr, args.tile, args.halo, args.tile_w)
+            return float(jax.device_get(jnp.mean(t[-1, -1, -1])))
+
+        def infer_only():
+            chunks = [infer(params, tiles[s:s + group])
+                      for s in range(0, tiles.shape[0], group)]
+            return float(jax.device_get(jnp.mean(chunks[-1][-1, -1, -1])))
+
+        sr_tiles = jnp.concatenate(
+            [infer(params, tiles[s:s + group])
+             for s in range(0, tiles.shape[0], group)])[:n_tiles]
+        sr_tiles = jax.block_until_ready(sr_tiles)
+        grid = [(oy, ox) for oy in oys for ox in oxs]
+        h_hr, w_hr = args.frame * cfg.scale, args.frame * cfg.scale
+        ramp_len = 2 * args.halo * cfg.scale
+        py, px = _weight_profiles(oys, oxs, t_h, t_w, args.halo,
+                                  cfg.scale, h_hr, w_hr)
+        blend_args = (sr_tiles,
+                      jnp.asarray(_ramp(t_h * cfg.scale, ramp_len)),
+                      jnp.asarray(_ramp(t_w * cfg.scale, ramp_len)),
+                      jnp.asarray(py), jnp.asarray(px),
+                      jnp.asarray([g[0] * cfg.scale for g in grid],
+                                  jnp.int32),
+                      jnp.asarray([g[1] * cfg.scale for g in grid],
+                                  jnp.int32))
+
+        def blend_only():
+            out = _blend_scatter(*blend_args, h_hr=h_hr, w_hr=w_hr)
+            return float(jax.device_get(jnp.mean(out[-1, -1])))
+
+        for name, fn in (("extract", extract_only),
+                         ("infer", infer_only),
+                         ("blend", blend_only)):
+            print(f"[tiled] stage {name:8s}: {timed(fn):.3f} s")
 
     out_mp = (args.frame * cfg.scale) ** 2 / 1e6
     tw = args.tile if args.tile_w is None else args.tile_w
