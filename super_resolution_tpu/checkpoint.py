@@ -96,14 +96,25 @@ def restore_generator_params(ckpt_dir: str,
 def restore_generator_trees(ckpt_dir: str, step: Optional[int] = None):
     """Template-free ``(g_params, g_ema_or_None, step)`` from a full
     train-state checkpoint — the export path needs both trees to emit
-    the family's ``{params, params_ema}`` release shape."""
+    the family's ``{params, params_ema}`` release shape.
+
+    Leaves come back as host numpy arrays rather than device arrays: a
+    template-free ``StandardRestore`` replays the *saved* shardings,
+    which name the training devices — restoring a TPU-trained
+    checkpoint on a CPU host (eval box, CI) would fail with
+    "Device TPU ... was not found".  Inference jit re-stages the numpy
+    trees onto whatever backend is live."""
     with _manager(ckpt_dir) as mgr:
         step = mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
-        raw = mgr.restore(
-            step, args=ocp.args.Composite(state=ocp.args.StandardRestore()))
-    st = raw["state"]
+    item_dir = os.path.join(os.path.abspath(ckpt_dir), str(step), "state")
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        meta = ckptr.metadata(item_dir).item_metadata.tree
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+        st = ckptr.restore(
+            item_dir, args=ocp.args.PyTreeRestore(restore_args=restore_args))
     return st["g_params"], st.get("g_ema"), step
 
 

@@ -128,9 +128,19 @@ def _load_generator(args, cfg):
         return variables["params"], cfg
     if os.path.isdir(path):             # orbax checkpoint dir
         from super_resolution_tpu.checkpoint import restore_generator_params
+        from super_resolution_tpu.import_torch import (
+            infer_generator_cfg_from_params,
+        )
 
         g_params, step = restore_generator_params(path)
         print(f"[cli] restored orbax checkpoint at step {step}")
+        # like the .pth branch: the checkpoint determines the
+        # architecture, the session keeps its runtime knobs
+        gen_cfg = dataclasses.replace(
+            infer_generator_cfg_from_params(g_params),
+            conv_impl=cfg.generator.conv_impl,
+            tail_up=cfg.generator.tail_up)
+        cfg = dataclasses.replace(cfg, generator=gen_cfg)
         return jax.device_get(g_params), cfg
     raise SystemExit(
         f"checkpoint not found: {path!r} (expected a torch .pth file or "

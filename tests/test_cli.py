@@ -86,6 +86,34 @@ def test_eval_cli_orbax_checkpoint(data_dir, tmp_path, capsys):
     assert json.loads(lines[-1])["n_images"] == 1
 
 
+def test_upscale_cli_orbax_infers_arch(data_dir, tmp_path):
+    """Orbax-dir inference must not require re-passing the architecture
+    flags: the checkpoint tree determines n_blocks/filters/growth (like
+    the .pth branch), and the template-free restore must come back as
+    host numpy leaves so TPU-trained checkpoints open on CPU boxes."""
+    ck = str(tmp_path / "ck")
+    main(["train", "--dataset_dir", data_dir, "--steps", "1",
+          "--batch_size", "2", "--hr_height", "32", "--warmup_batches",
+          "10", "--no_perceptual", "--checkpoint_interval", "1",
+          "--checkpoint_dir", ck, "--n_cpu", "1", *SMALL_ARGS])
+
+    import jax
+
+    from super_resolution_tpu.checkpoint import restore_generator_trees
+
+    g, ema, step = restore_generator_trees(ck)
+    assert step == 1 and ema is not None
+    assert all(isinstance(l, np.ndarray) for l in jax.tree.leaves(g))
+
+    out = str(tmp_path / "sr.png")
+    # note: NO --residual_blocks here — arch must come from the tree
+    rc = main(["upscale", "--image", os.path.join(data_dir, "im0.png"),
+               "--checkpoint", ck, "--out", out, "--dtype", "float32"])
+    assert rc == 0
+    with Image.open(out) as im:
+        assert im.size == (256, 256)
+
+
 def test_interp_cli_roundtrip(tmp_path, small_pth):
     torch.manual_seed(1)
     other = str(tmp_path / "gen2.pth")
