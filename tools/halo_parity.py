@@ -50,13 +50,19 @@ def main():
                     help="float32 isolates RF truncation from rounding")
     ap.add_argument("--conv_impl", default=None,
                     help="override (default: lax on CPU, auto elsewhere)")
+    ap.add_argument("--val_dir", default=None,
+                    help="instead of a synthetic frame, measure the "
+                         "contract-level statement on real images: "
+                         "PSNR-vs-ground-truth of whole-frame vs tiled "
+                         "SR at each halo (images are treated as HR, "
+                         "LR = PIL-parity bicubic ÷scale)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from super_resolution_tpu.checkpoint import restore_generator_params
-    from super_resolution_tpu.config import DataConfig, GeneratorConfig
+    from super_resolution_tpu.config import DataConfig
     from super_resolution_tpu.data import normalize
     from super_resolution_tpu.models import RRDBNet
     from super_resolution_tpu.parallel import tiled_upscale
@@ -68,9 +74,12 @@ def main():
         )
         params, gcfg = import_generator(load_pth(args.checkpoint))
     else:
-        params, gcfg = restore_generator_params(args.checkpoint)
-        if gcfg is None:
-            gcfg = GeneratorConfig()
+        from super_resolution_tpu.import_torch import (
+            infer_generator_cfg_from_params,
+        )
+        g_params, _step = restore_generator_params(args.checkpoint)
+        gcfg = infer_generator_cfg_from_params(g_params)
+        params = {"params": g_params}
     impl = args.conv_impl or (
         "lax" if jax.default_backend() == "cpu" else "auto")
     gcfg = __import__("dataclasses").replace(gcfg, conv_impl=impl)
@@ -80,6 +89,44 @@ def main():
     infer = jax.jit(lambda x: model.apply(params, x))
 
     dc = DataConfig()
+
+    if args.val_dir:
+        from super_resolution_tpu.data import denormalize, list_images
+        from super_resolution_tpu.metrics import psnr01 as psnr_fn
+        from super_resolution_tpu.ops import bicubic_downsample
+        from super_resolution_tpu.train.evaluate import _load_image
+
+        halos = [int(h) for h in args.halos.split(",")]
+        acc = {("whole", None): []}
+        acc.update({("tiled", h): [] for h in halos})
+        for path in list_images(args.val_dir):
+            hr01 = _load_image(path)
+            s = gcfg.scale
+            h, w = (hr01.shape[0] // s) * s, (hr01.shape[1] // s) * s
+            hr01 = jnp.asarray(hr01[:h, :w])
+            lrn = normalize(bicubic_downsample(hr01, s),
+                            dc.normalize_mean, dc.normalize_std)
+
+            def score(srn):
+                sr01 = jnp.clip(denormalize(srn, dc.normalize_mean,
+                                            dc.normalize_std), 0.0, 1.0)
+                return float(psnr_fn(sr01, hr01))
+
+            acc[("whole", None)].append(score(infer(lrn[None])[0]))
+            for halo in halos:
+                acc[("tiled", halo)].append(score(tiled_upscale(
+                    infer, lrn, scale=s, tile=h // s,
+                    tile_w=args.tile_w, halo=halo, tile_batch=1)))
+        ref = float(np.mean(acc[("whole", None)]))
+        print(f"[halo] val_dir={args.val_dir}: whole-frame "
+              f"psnr_rgb={ref:.4f} dB "
+              f"({len(acc[('whole', None)])} images, {args.dtype}, {impl})")
+        for halo in halos:
+            v = float(np.mean(acc[("tiled", halo)]))
+            print(f"[halo] halo={halo:2d} tile_w={args.tile_w}: "
+                  f"psnr_rgb={v:.4f} dB  delta_vs_whole={v - ref:+.4f} dB")
+        return
+
     rng = np.random.RandomState(0)
     # structured content (edges + gradients), not white noise — error
     # concentrates at edges, and white noise has no trained statistics
@@ -104,10 +151,16 @@ def main():
         import math
         k = math.ceil((args.frame - args.tile_w) / stride) + 1
         waste = k * args.tile_w / args.frame
+        # the deployment-relevant view: how far the tiled output sits
+        # from the whole-frame output in PSNR terms (max-LSB is an
+        # outlier statistic; a 50+ dB tiled-vs-whole PSNR moves any
+        # PSNR-vs-ground-truth number by <0.01 dB)
+        psnr_vs_whole = -10.0 * np.log10(np.mean(err01 ** 2) + 1e-30)
         print(f"[halo] halo={halo:2d} (waste {waste:.4f}x at "
               f"tile_w={args.tile_w}): max={err01.max():.2e} "
               f"mean={err01.mean():.2e} "
-              f"uint8_lsb_max={np.ceil(err01.max() * 255):.0f}")
+              f"uint8_lsb_max={np.ceil(err01.max() * 255):.0f} "
+              f"psnr_vs_whole={psnr_vs_whole:.2f}dB")
 
 
 if __name__ == "__main__":

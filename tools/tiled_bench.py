@@ -9,10 +9,13 @@ scalar (the SR mean): through the axon tunnel `block_until_ready` does
 not block and bulk fetches run at ~15 MB/s (BENCHNOTES.md), so the 8K
 output must stay on device.
 
-Usage: python tools/tiled_bench.py [--frame 2048] [--tile_w 128] [--halo 8]
+Usage: python tools/tiled_bench.py [--frame 2048] [--tile_w 128] [--halo 4]
 (defaults = the measured-winner full-height column geometry: tile_h =
-frame height, tile_w 128, batch 1 — BENCHNOTES round-4 geometry
-campaign, 34.59 MP/s/chip vs 31.24 for square 384/b2)
+frame height, tile_w 128, batch 1, halo 4 — BENCHNOTES round-4 geometry
+campaigns, 38.86 MP/s/chip vs 34.59 at halo=8 vs 31.24 for square
+384/b2.  halo=4 fidelity is gated per-checkpoint by
+tools/halo_parity.py: on the round-4 trained GAN checkpoint tiled
+output sits 60 dB from whole-frame and +0.0015 dB on PSNR-vs-GT.)
 """
 
 import argparse
@@ -47,7 +50,14 @@ def main():
                          "a narrow --tile_w = full-height column tiling "
                          "(overlap waste on one axis only). 128 admits "
                          "the kernel's best rows/v9 geometry")
-    ap.add_argument("--halo", type=int, default=8)
+    ap.add_argument("--halo", type=int, default=4,
+                    help="LR overlap half-width. 4 is the measured "
+                         "flagship value (38.9 vs 34.6 MP/s at halo=8, "
+                         "BENCHNOTES round 4) and is fidelity-gated by "
+                         "tools/halo_parity.py on trained weights "
+                         "(+0.0015 dB vs whole-frame on the round-4 "
+                         "GAN checkpoint); the CLI ships the more "
+                         "conservative 8 for arbitrary checkpoints")
     ap.add_argument("--tile_batch", type=int, default=1,
                     help="1 for column tiles (a full-height column is "
                          "already 256 pipeline bands; batching only adds "
