@@ -41,12 +41,17 @@ def main():
                          "(ops/pallas/dense_block_cf.FWD_CARRY_ENABLED)")
     ap.add_argument("--tile", type=int, default=TILE,
                     help="LR side length (default %(default)s)")
+    ap.add_argument("--tile_w", type=int, default=None,
+                    help="LR width if different from --tile "
+                         "(rectangular probes, e.g. the 2048x128 "
+                         "column-tiling shape)")
     ap.add_argument("--batch", type=int, default=BATCH,
                     help="batch size (default %(default)s)")
     ap.add_argument("--iters", type=int, default=ITERS,
                     help="chained forwards per timed call")
     args = ap.parse_args()
     tile, batch, iters = args.tile, args.batch, args.iters
+    tile_w = args.tile_w if args.tile_w is not None else tile
     if args.fwd_carry is not None:
         from super_resolution_tpu.ops.pallas import dense_block_cf
         dense_block_cf.FWD_CARRY_ENABLED = args.fwd_carry
@@ -63,7 +68,7 @@ def main():
     params = jax.jit(RRDBNet(GeneratorConfig(conv_impl="lax"),
                              dtype=jnp.bfloat16).init)(
         jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
-    x = jax.random.normal(jax.random.key(1), (batch, tile, tile, 3),
+    x = jax.random.normal(jax.random.key(1), (batch, tile, tile_w, 3),
                           jnp.float32)
 
     # the inference primal resolves the kernel through partitioned.py's
@@ -123,7 +128,7 @@ def main():
                 jax.device_get(f(params, x))
                 best = min(best, time.perf_counter() - t0)
             per_batch = max(best - TUNNEL_FLOOR_S, 1e-9) / iters
-            mp_s = batch * (tile * 4) ** 2 / 1e6 / per_batch
+            mp_s = batch * (tile * 4) * (tile_w * 4) / 1e6 / per_batch
             print(f"{variant:12s}: {per_batch * 1e3:6.1f} ms/batch  "
                   f"{mp_s:6.2f} MP/s  (compile {compile_s:.0f}s)",
                   flush=True)
