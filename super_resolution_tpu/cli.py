@@ -162,6 +162,30 @@ def _inference_mesh(cfg, g_params):
     return mesh, jax.device_put(g_params, replicated(mesh))
 
 
+def _resolve_halo(args) -> int:
+    """``--halo`` as an int, resolving ``auto`` from the checkpoint's
+    release metadata (``cli export --halo_sweep`` / ``--stamp_halo`` —
+    the admissible halo is a property of the trained weights' effective
+    receptive field, so it travels with the checkpoint, not the CLI).
+    Falls back to the conservative 8 when no stamp exists."""
+    if str(args.halo).lower() != "auto":
+        return int(args.halo)
+    from super_resolution_tpu.halo_sweep import (
+        halo_meta_path,
+        read_admissible_halo,
+    )
+
+    halo = read_admissible_halo(args.checkpoint)
+    if halo is None:
+        print(f"[cli] --halo auto: no admissible-halo stamp at "
+              f"{halo_meta_path(args.checkpoint)} — using conservative "
+              f"halo=8 (stamp one with `export --halo_sweep` or "
+              f"`export --stamp_halo N` after tools/halo_parity.py)")
+        return 8
+    print(f"[cli] --halo auto: halo={halo} from release metadata")
+    return halo
+
+
 def _tile_align(cfg):
     """Effective-tile alignment for tiled_upscale: when the fused-kernel
     path is active, clamp tile sizes to (8-row bands, 128 lanes) so
@@ -299,7 +323,15 @@ def main(argv=None):
                         "2 is the fastest measured 2K geometry on v5e "
                         "(31.4 MP/s/chip vs 29.0 at 128, BENCHNOTES); "
                         "W %% 128 == 0 keeps the aligned kernels engaged")
-    e.add_argument("--halo", type=int, default=8)
+    e.add_argument("--halo", default="8",
+                   help="tile overlap halo (int), or 'auto' to use the "
+                        "checkpoint's stamped admissible halo "
+                        "(export --halo_sweep); default 8")
+    e.add_argument("--tile_bucket", type=int, default=None,
+                   help="quantize the tile height to waste-minimizing "
+                        "multiples of this (e.g. 256): column tiling on "
+                        "variable-height streams reuses a bounded set "
+                        "of compiled shapes instead of one per height")
     e.add_argument("--tile_w", type=int, default=None,
                    help="tile width when the grid should be rectangular "
                         "(default: square --tile). --tile >= frame "
@@ -326,7 +358,15 @@ def main(argv=None):
                         "2 is the fastest measured 2K geometry on v5e "
                         "(31.4 MP/s/chip vs 29.0 at 128, BENCHNOTES); "
                         "W %% 128 == 0 keeps the aligned kernels engaged")
-    u.add_argument("--halo", type=int, default=8)
+    u.add_argument("--halo", default="8",
+                   help="tile overlap halo (int), or 'auto' to use the "
+                        "checkpoint's stamped admissible halo "
+                        "(export --halo_sweep); default 8")
+    u.add_argument("--tile_bucket", type=int, default=None,
+                   help="quantize the tile height to waste-minimizing "
+                        "multiples of this (e.g. 256): column tiling on "
+                        "variable-height streams reuses a bounded set "
+                        "of compiled shapes instead of one per height")
     u.add_argument("--tile_w", type=int, default=None,
                    help="tile width when the grid should be rectangular "
                         "(default: square --tile). --tile >= frame "
@@ -351,7 +391,18 @@ def main(argv=None):
                          "2 is the fastest measured 2K geometry on v5e "
                          "(31.4 MP/s/chip vs 29.0 at 128, BENCHNOTES); "
                          "W %% 128 == 0 keeps the aligned kernels engaged")
-    sv.add_argument("--halo", type=int, default=8)
+    sv.add_argument("--halo", default="8",
+                    help="tile overlap halo (int), or 'auto' to use the "
+                         "checkpoint's stamped admissible halo "
+                         "(export --halo_sweep); default 8")
+    sv.add_argument("--tile_bucket", type=int, default=None,
+                    help="quantize the tile height to waste-minimizing "
+                         "multiples of this (e.g. 256): column tiling "
+                         "on variable-height streams reuses a bounded "
+                         "set of compiled shapes instead of one per "
+                         "height — lets fixed-WIDTH streams keep the "
+                         "fast column geometry (--tile 4096 --tile_w "
+                         "128 --tile_batch 1 --tile_bucket 256)")
     sv.add_argument("--tile_w", type=int, default=None,
                     help="tile width when the grid should be rectangular "
                          "(default: square --tile). --tile >= frame "
@@ -378,6 +429,30 @@ def main(argv=None):
     x.add_argument("--style", default="basicsr",
                    choices=("basicsr", "xinntao_old", "erik"),
                    help="torch naming family to emit")
+    x.add_argument("--halo_sweep", action="store_true",
+                   help="measure the checkpoint's minimal admissible "
+                        "tiling halo (tiled-vs-whole probe sweep on the "
+                        "CPU backend, fp32 lax) and stamp it into "
+                        "<out>.meta.json — `upscale/serve/eval --halo "
+                        "auto` then pick the fast geometry per "
+                        "checkpoint.  Slow on few-core hosts (a "
+                        "23-block sweep is ~5 whole-frame inferences); "
+                        "--stamp_halo records an on-chip "
+                        "tools/halo_parity.py result instead")
+    x.add_argument("--stamp_halo", type=int, default=None,
+                   help="stamp this admissible halo into <out>.meta.json "
+                        "without sweeping (e.g. measured on-chip with "
+                        "tools/halo_parity.py)")
+    x.add_argument("--sweep_frame", type=int, default=192,
+                   help="probe frame side for --halo_sweep (must exceed "
+                        "--sweep_tile_w)")
+    x.add_argument("--sweep_tile_w", type=int, default=64)
+    x.add_argument("--sweep_halos", default="2,4,6,8")
+    x.add_argument("--sweep_threshold_db", type=float, default=55.0,
+                   help="minimal tiled-vs-whole PSNR to admit a halo "
+                        "(55 dB perturbs a ~25 dB PSNR-vs-GT by "
+                        "~0.005 dB — 20x inside the 0.1 dB parity "
+                        "budget)")
 
     # ---- interp ----
     i = sub.add_parser("interp", help="network interpolation (ESRGAN §3.4)")
@@ -388,6 +463,15 @@ def main(argv=None):
     i.add_argument("--out", required=True)
 
     args = parser.parse_args(argv)
+    if args.cmd == "export" and args.halo_sweep:
+        # the sweep runs fp32 lax on the CPU backend (isolates receptive-
+        # field truncation from kernel/bf16 rounding — halo_sweep.py);
+        # must happen before the first device op, and needs jax.config
+        # (the env var alone cannot override this environment's pinned
+        # axon platform — CLAUDE.md env gotchas)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if not getattr(args, "no_compile_cache", False):
         from super_resolution_tpu.compile_cache import (
             enable_compilation_cache,
@@ -431,8 +515,9 @@ def main(argv=None):
         g_params, cfg = _load_generator(args, cfg)
         mesh, g_params = _inference_mesh(cfg, g_params)
         out = evaluate_directory(cfg, g_params, args.dataset_dir,
-                                 tile=args.tile, halo=args.halo,
+                                 tile=args.tile, halo=_resolve_halo(args),
                                  tile_w=args.tile_w,
+                                 bucket_h=args.tile_bucket,
                                  tile_batch=args.tile_batch,
                                  max_images=args.max_images,
                                  use_self_ensemble=args.self_ensemble,
@@ -462,6 +547,7 @@ def main(argv=None):
         mesh, g_params = _inference_mesh(cfg, g_params)
         infer = make_infer_fn(cfg)
         mean, std = cfg.data.normalize_mean, cfg.data.normalize_std
+        halo = _resolve_halo(args)
 
         def upscale_one(src: str, dst: str):
             with Image.open(src) as im:
@@ -474,8 +560,8 @@ def main(argv=None):
             up = lambda img: tiled_upscale(
                 lambda x: infer(g_params, x), img,
                 scale=cfg.generator.scale, tile=args.tile,
-                halo=args.halo, tile_w=args.tile_w,
-                align=_tile_align(cfg),
+                halo=halo, tile_w=args.tile_w,
+                align=_tile_align(cfg), bucket_h=args.tile_bucket,
                 tile_batch=args.tile_batch, mesh=mesh)
             if args.self_ensemble:
                 from super_resolution_tpu.ops import self_ensemble
@@ -528,6 +614,7 @@ def main(argv=None):
         mesh, g_params = _inference_mesh(cfg, g_params)
         infer = make_infer_fn(cfg)
         mean, std = cfg.data.normalize_mean, cfg.data.normalize_std
+        halo = _resolve_halo(args)
 
         def upscale_u8(lr_u8):
             # uint8 upload + on-device conversion (see upscale: 4x less
@@ -536,8 +623,9 @@ def main(argv=None):
                             / 255.0, mean, std)
             srn = tiled_upscale(lambda x: infer(g_params, x), lrn,
                                 scale=cfg.generator.scale, tile=args.tile,
-                                halo=args.halo, tile_w=args.tile_w,
+                                halo=halo, tile_w=args.tile_w,
                                 align=_tile_align(cfg),
+                                bucket_h=args.tile_bucket,
                                 tile_batch=args.tile_batch, mesh=mesh)
             return np.asarray(to_uint8_image(srn, cfg.data))
 
@@ -576,6 +664,40 @@ def main(argv=None):
         save_pth(export_generator_release(g_params, gcfg, g_ema,
                                           style=args.style), args.out)
         print(f"[cli] wrote {args.out}")
+        if args.stamp_halo is not None or args.halo_sweep:
+            from super_resolution_tpu.halo_sweep import (
+                sweep_admissible_halo,
+                write_halo_meta,
+            )
+
+            if args.stamp_halo is not None:
+                meta = {"admissible_halo": int(args.stamp_halo),
+                        "method": "stamped",
+                        "scale": gcfg.scale}
+            else:
+                import jax.numpy as jnp
+
+                from super_resolution_tpu.models import RRDBNet
+
+                # sweep the weights inference will actually load: the
+                # importer prefers params_ema when both exist
+                # (import_torch.py BasicSR convention)
+                weights = g_ema if g_ema is not None else g_params
+                model = RRDBNet(dataclasses.replace(gcfg,
+                                                    conv_impl="lax"),
+                                dtype=jnp.float32)
+                infer = jax.jit(
+                    lambda x: model.apply({"params": weights}, x))
+                meta = sweep_admissible_halo(
+                    infer, scale=gcfg.scale, frame=args.sweep_frame,
+                    tile_w=args.sweep_tile_w,
+                    halos=[int(h) for h in args.sweep_halos.split(",")],
+                    threshold_db=args.sweep_threshold_db)
+                meta["weights"] = ("params_ema" if g_ema is not None
+                                   else "params")
+            path = write_halo_meta(args.out, meta)
+            print(f"[cli] stamped admissible_halo="
+                  f"{meta['admissible_halo']} into {path}")
         return 0
 
     if args.cmd == "interp":

@@ -9,6 +9,7 @@ from super_resolution_tpu.parallel.dp import (  # noqa: F401
 )
 from super_resolution_tpu.parallel.tiling import (  # noqa: F401
     blend_window,
+    bucket_tile_h,
     extract_tiles,
     plan_tiles,
     tiled_upscale,

@@ -78,6 +78,40 @@ def plan_tiles(h: int, w: int, tile: int, halo: int,
             _axis_offsets(w, tile_w, tile_w - 2 * halo))
 
 
+def bucket_tile_h(h: int, tile_h: int, halo: int, bucket: int) -> int:
+    """Waste-minimizing BUCKETED tile height: the multiple of ``bucket``
+    in (2*halo, min(tile_h, h)] whose clamped vertical grid covers the
+    frame with the least total tile area (ties broken toward taller
+    tiles — fewer dispatches).
+
+    This is the height-bucketing planner for column tiling on
+    variable-height streams (ROADMAP round-5 candidate 2): full-height
+    columns are the fastest measured 2K geometry (BENCHNOTES round-4
+    campaign) but compile per frame HEIGHT.  Quantizing the tile height
+    to multiples of ``bucket`` bounds the set of compiled shapes to the
+    distinct multiples actually used, while the clamped grid keeps
+    fidelity exact-by-construction (no padding — conv biases make a
+    zero-padded region non-zero after the first layer and that leaks
+    back through later convs at the true frame border; see
+    ``tiled_upscale``'s ``align`` note).  A frame whose height is itself
+    a multiple of ``bucket`` gets a true full-height column (one
+    vertical tile, zero vertical waste); otherwise the planner trades a
+    small vertical overlap (e.g. 1.02x at h=2000, bucket=256) for shape
+    reuse.  Falls back to ``min(tile_h, h)`` (the unbucketed clamp,
+    i.e. a per-height compile) when no multiple fits.
+    """
+    cap = min(tile_h, h)
+    best = None
+    for t in range(bucket, cap + 1, bucket):
+        if t - 2 * halo <= 0:
+            continue
+        k = 1 if t >= h else math.ceil((h - t) / (t - 2 * halo)) + 1
+        key = (k * t, -t)
+        if best is None or key < best[0]:
+            best = (key, t)
+    return cap if best is None else best[1]
+
+
 def _ramp(t_hr: int, ramp_len: int) -> np.ndarray:
     x = np.arange(t_hr, dtype=np.float32) + 0.5
     if ramp_len > 0:
@@ -164,6 +198,7 @@ def tiled_upscale(
         mesh: Optional[Mesh] = None,
         tile_w: Optional[int] = None,
         align: Optional[tuple] = None,
+        bucket_h: Optional[int] = None,
 ) -> jnp.ndarray:
     """Upscale an (H, W, C) normalized LR frame by ×``scale``.
 
@@ -190,6 +225,14 @@ def tiled_upscale(
     border — exactly where checkpoint parity is contractual.  The
     clamped grid keeps borders exact by construction.
 
+    ``bucket_h`` quantizes the tile height to the waste-minimizing
+    multiple of ``bucket_h`` (``bucket_tile_h``): column tiling on a
+    VARIABLE-height stream then reuses a bounded set of compiled shapes
+    instead of compiling once per frame height, at the cost of a small
+    vertical overlap when the height is not itself a multiple.  Use with
+    a tall ``tile`` cap and a narrow ``tile_w`` (the serve recipe:
+    ``--tile 4096 --tile_w 128 --tile_bucket 256``).
+
     With a ``mesh``, tiles are batch-sharded across it, so any params
     ``infer_fn`` takes as *jit arguments* must already be replicated over
     the same mesh (``jax.device_put(params, replicated(mesh))``) — mixing
@@ -199,6 +242,8 @@ def tiled_upscale(
     h, w, c = lr.shape
     tile_h = tile
     tile_w = tile if tile_w is None else tile_w
+    if bucket_h is not None:
+        tile_h = bucket_tile_h(h, tile_h, halo, bucket_h)
     if align is not None:
         a_h, a_w = align
         eff_h, eff_w = min(tile_h, h), min(tile_w, w)

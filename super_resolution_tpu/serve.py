@@ -29,12 +29,20 @@ mixed frame sizes.  A fixed-size stream (the usual detector case)
 should instead pass ``--tile <frame_h> --tile_w 128 --tile_batch 1`` —
 full-height column tiling, measured +10% (34.59 vs 31.24 MP/s/chip at
 2048², BENCHNOTES round-4 geometry campaign) at the cost of one
-compile per distinct frame height.  Adding ``--halo 4`` is worth a
-further +12% (38.86 MP/s at 2048²) once ``tools/halo_parity.py`` has
+compile per distinct frame height.  A fixed-WIDTH stream with variable
+heights adds ``--tile_bucket 256``: the planner quantizes the column
+height to waste-minimizing multiples of 256 (``parallel/tiling.py
+bucket_tile_h``), so the stream reuses a bounded set of compiled
+shapes instead of compiling per height.  Adding ``--halo 4`` is worth
+a further +12% (38.86 MP/s at 2048²) once ``tools/halo_parity.py`` has
 cleared it for the deployed checkpoint (on the round-4 GAN weights:
 60 dB tiled-vs-whole, +0.0015 dB PSNR-vs-GT; the default stays 8
 because the admissible halo is a property of the trained weights'
-effective receptive field, not of the architecture).
+effective receptive field, not of the architecture).  Release
+checkpoints exported with ``cli export --halo_sweep`` (or
+``--stamp_halo N`` after an on-chip halo_parity run) carry their
+admissible halo in ``<release>.pth.meta.json`` — ``--halo auto`` then
+picks the fast geometry per checkpoint automatically.
 """
 
 from __future__ import annotations

@@ -38,7 +38,8 @@ def evaluate_directory(
         files: Optional[Iterable[str]] = None,
         infer_fn=None, use_self_ensemble: bool = False,
         lr_dir: Optional[str] = None,
-        tile_w: Optional[int] = None) -> Dict[str, float]:
+        tile_w: Optional[int] = None,
+        bucket_h: Optional[int] = None) -> Dict[str, float]:
     """Evaluate G over every image in ``val_dir``; returns mean metrics.
 
     With ``lr_dir``, each HR image's LR input comes from the paired file
@@ -95,7 +96,7 @@ def evaluate_directory(
         upscale = lambda img: tiled_upscale(          # noqa: E731
             fn, img, scale=scale, tile=tile, halo=halo,
             tile_batch=tile_batch, mesh=mesh, tile_w=tile_w,
-            align=align)
+            align=align, bucket_h=bucket_h)
         if use_self_ensemble:
             from super_resolution_tpu.ops import self_ensemble
 

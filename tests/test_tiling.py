@@ -11,6 +11,7 @@ from super_resolution_tpu.config import GeneratorConfig
 from super_resolution_tpu.models import RRDBNet
 from super_resolution_tpu.parallel import (
     blend_window,
+    bucket_tile_h,
     make_mesh,
     plan_tiles,
     tiled_upscale,
@@ -220,6 +221,66 @@ def test_tiled_align_clamps_effective_tiles():
         np.asarray(tiled_upscale(fn, img3, scale=4, tile=128, halo=8,
                                  align=(16, 16))),
         np.asarray(whole(img3)))
+
+
+@pytest.mark.fast
+def test_bucket_tile_h_planner():
+    """Height bucketing (ROADMAP round-5 candidate 2): the planner picks
+    the waste-minimizing multiple of the bucket, exact-height frames get
+    a true full-height column, and impossible buckets fall back to the
+    unbucketed clamp."""
+    import math
+
+    # height is itself a multiple: zero vertical waste, one tile
+    assert bucket_tile_h(2048, 4096, 8, 256) == 2048
+    # non-multiple: a multiple of the bucket, optimal by brute force
+    h, halo, bucket = 2000, 8, 256
+    t = bucket_tile_h(h, 4096, halo, bucket)
+    assert t % bucket == 0 and 0 < t <= h
+
+    def cost(T):
+        k = 1 if T >= h else math.ceil((h - T) / (T - 2 * halo)) + 1
+        return (k * T, -T)
+
+    assert cost(t) == min(cost(T) for T in range(bucket, h + 1, bucket))
+    # the cap bounds the choice
+    assert bucket_tile_h(2000, 512, 8, 256) <= 512
+    # no multiple fits below the frame/cap: native fallback
+    assert bucket_tile_h(100, 4096, 8, 256) == 100
+    # multiples at or under 2*halo are skipped, not selected
+    assert bucket_tile_h(64, 4096, 30, 32) == 64
+
+
+@pytest.mark.fast
+def test_bucketed_heights_bounded_shape_set():
+    """The point of bucketing: a variable-height stream maps to a
+    BOUNDED set of compiled tile heights (vs one shape per height)."""
+    tiles = {bucket_tile_h(h, 4096, 8, 128) for h in range(900, 1100)}
+    assert all(t % 128 == 0 for t in tiles)
+    assert len(tiles) <= 4, tiles
+
+
+def test_tiled_bucketed_matches_whole_frame():
+    """bucket_h quantizes the tile height; fidelity must stay at blend
+    tolerance because the grid is still clamped (no padding)."""
+    fn, whole = _small_gen()
+    # 100 is not a multiple of 32: vertical axis gets a bucketed grid
+    img = jax.random.normal(jax.random.key(21), (100, 96, 3)) * 0.4
+    ref = np.asarray(whole(img))
+    out = np.asarray(tiled_upscale(fn, img, scale=4, tile=4096, halo=20,
+                                   tile_batch=2, tile_w=48, bucket_h=32))
+    assert out.shape == ref.shape == (400, 384, 3)
+    np.testing.assert_allclose(out, ref, atol=5e-4)
+    # borders stay exact-ish (clamped-grid contract)
+    np.testing.assert_allclose(out[:8], ref[:8], atol=5e-4)
+    np.testing.assert_allclose(out[-8:], ref[-8:], atol=5e-4)
+    # exact-multiple height: true full-height columns, same fidelity
+    img2 = jax.random.normal(jax.random.key(22), (96, 96, 3)) * 0.4
+    ref2 = np.asarray(whole(img2))
+    out2 = np.asarray(tiled_upscale(fn, img2, scale=4, tile=4096,
+                                    halo=20, tile_batch=2, tile_w=48,
+                                    bucket_h=32))
+    np.testing.assert_allclose(out2, ref2, atol=5e-4)
 
 
 def test_tiled_mesh_sharded_matches_single_device():
