@@ -40,7 +40,15 @@ import numpy as np                                            # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frame", type=int, default=2048,
-                    help="LR frame size (square)")
+                    help="LR frame size (square unless --frame_h)")
+    ap.add_argument("--frame_h", type=int, default=None,
+                    help="LR frame height when different from --frame "
+                         "(misaligned/variable-height stream probes)")
+    ap.add_argument("--bucket_h", type=int, default=None,
+                    help="height-bucketed column planning "
+                         "(tiled_upscale bucket_h / CLI --tile_bucket): "
+                         "quantize the tile height to waste-minimizing "
+                         "multiples of this")
     ap.add_argument("--tile", type=int, default=None,
                     help="tile height (default: frame height — the "
                          "measured-winner full-height column geometry, "
@@ -82,8 +90,9 @@ def main():
                     help="enable the fused forward's upward-halo carry "
                          "(ops/pallas/dense_block_cf.FWD_CARRY_ENABLED)")
     args = ap.parse_args()
+    frame_h = args.frame_h if args.frame_h is not None else args.frame
     if args.tile is None:
-        args.tile = args.frame
+        args.tile = frame_h
     if args.fwd_carry is not None:
         from super_resolution_tpu.ops.pallas import dense_block_cf
         dense_block_cf.FWD_CARRY_ENABLED = args.fwd_carry
@@ -109,12 +118,13 @@ def main():
 
     rng = np.random.RandomState(0)
     lr = jax.device_put(jnp.asarray(
-        rng.rand(args.frame, args.frame, 3).astype(np.float32)))
+        rng.rand(frame_h, args.frame, 3).astype(np.float32)))
 
     def run():
         sr = tiled_upscale(lambda x: infer(params, x), lr, scale=cfg.scale,
                            tile=args.tile, halo=args.halo,
-                           tile_batch=args.tile_batch, tile_w=args.tile_w)
+                           tile_batch=args.tile_batch, tile_w=args.tile_w,
+                           bucket_h=args.bucket_h)
         return float(jax.device_get(jnp.mean(sr)))   # scalar sync
 
     t0 = time.perf_counter()
@@ -146,8 +156,14 @@ def main():
                 best = min(best, time.perf_counter() - t0)
             return best
 
+        eff_tile = args.tile
+        if args.bucket_h is not None:
+            from super_resolution_tpu.parallel import bucket_tile_h
+
+            eff_tile = bucket_tile_h(frame_h, args.tile, args.halo,
+                                     args.bucket_h)
         tiles, ((t_h, t_w), oys, oxs) = extract_tiles(
-            lr, args.tile, args.halo, args.tile_w)
+            lr, eff_tile, args.halo, args.tile_w)
         n_tiles = tiles.shape[0]
         group = args.tile_batch
         n_pad = (-n_tiles) % group
@@ -158,7 +174,7 @@ def main():
         tiles = jax.block_until_ready(tiles)
 
         def extract_only():
-            t, _ = extract_tiles(lr, args.tile, args.halo, args.tile_w)
+            t, _ = extract_tiles(lr, eff_tile, args.halo, args.tile_w)
             return float(jax.device_get(jnp.mean(t[-1, -1, -1])))
 
         def infer_only():
@@ -171,7 +187,7 @@ def main():
              for s in range(0, tiles.shape[0], group)])[:n_tiles]
         sr_tiles = jax.block_until_ready(sr_tiles)
         grid = [(oy, ox) for oy in oys for ox in oxs]
-        h_hr, w_hr = args.frame * cfg.scale, args.frame * cfg.scale
+        h_hr, w_hr = frame_h * cfg.scale, args.frame * cfg.scale
         ramp_len = 2 * args.halo * cfg.scale
         py, px = _weight_profiles(oys, oxs, t_h, t_w, args.halo,
                                   cfg.scale, h_hr, w_hr)
@@ -193,13 +209,14 @@ def main():
                          ("blend", blend_only)):
             print(f"[tiled] stage {name:8s}: {timed(fn):.3f} s")
 
-    out_mp = (args.frame * cfg.scale) ** 2 / 1e6
+    out_mp = frame_h * args.frame * cfg.scale ** 2 / 1e6
     tw = args.tile if args.tile_w is None else args.tile_w
-    print(f"[tiled] {args.frame}x{args.frame} LR -> "
-          f"{args.frame * cfg.scale}² SR ({args.conv_impl}, "
-          f"tile={args.tile}x{tw} halo={args.halo} "
-          f"batch={args.tile_batch}): "
-          f"{best:.3f} s/frame = {out_mp / best:.2f} MP/s/chip")
+    print(f"[tiled] {args.frame}x{frame_h} LR -> "
+          f"{args.frame * cfg.scale}x{frame_h * cfg.scale} SR "
+          f"({args.conv_impl}, tile={args.tile}x{tw} "
+          f"halo={args.halo} batch={args.tile_batch}"
+          + (f" bucket_h={args.bucket_h}" if args.bucket_h else "")
+          + f"): {best:.3f} s/frame = {out_mp / best:.2f} MP/s/chip")
 
 
 if __name__ == "__main__":
