@@ -99,7 +99,6 @@ def sweep_admissible_halo(
     whole = np.asarray(infer_fn(x[None])[0], np.float32)
 
     rows = []
-    admissible = None
     for halo in sorted(halos):
         tiled = np.asarray(
             tiled_upscale(infer_fn, x, scale=scale, tile=frame,
@@ -114,8 +113,7 @@ def sweep_admissible_halo(
             "mean_err01": float(err01.mean()),
             "uint8_lsb_max": int(math.ceil(float(err01.max()) * 255)),
         })
-        if admissible is None and psnr >= threshold_db:
-            admissible = int(halo)
+    admissible = select_admissible(rows, threshold_db)
     return {
         "admissible_halo": admissible,
         "threshold_db": threshold_db,
@@ -124,6 +122,87 @@ def sweep_admissible_halo(
         "scale": int(scale),
         "method": "structured_probe_sweep",
         "sweep": rows,
+    }
+
+
+def select_admissible(rows: Sequence[dict],
+                      threshold_db: float) -> Optional[int]:
+    """Smallest halo of the LARGEST passing suffix of the (halo-sorted)
+    sweep rows.  Deviation should be monotone non-increasing in halo,
+    so a small halo that "passes" while a larger one fails is probe
+    noise near the threshold, not admissibility — the pick and every
+    larger candidate must clear the threshold (round-4 ADVICE)."""
+    admissible = None
+    for row in sorted(rows, key=lambda r: r["halo"], reverse=True):
+        if row["psnr_vs_whole_db"] >= threshold_db:
+            admissible = int(row["halo"])
+        else:
+            break
+    return admissible
+
+
+def val_dir_contract(
+        infer_fn: Callable,
+        val_dir: str,
+        scale: int,
+        halo: int,
+        tile_w: int = 64,
+        max_images: int = 4,
+) -> dict:
+    """Contract-level admissibility evidence on REAL images: per-image
+    PSNR-vs-ground-truth of whole-frame vs tiled SR at ``halo``.
+
+    The synthetic probe sweep bounds tiled-vs-whole deviation, but the
+    tools/halo_parity.py finding is that admissibility is a property of
+    *trained weights on real content* — so when a validation directory
+    is available, ``cli export --val_dir`` records the statement the
+    parity budget is actually written in: how much the tiled path moves
+    the PSNR-vs-GT number (images treated as HR, LR = PIL-parity
+    bicubic ÷scale, the reference eval protocol).  Returns a dict for
+    the release sidecar: mean whole/tiled PSNR and the delta."""
+    import jax.numpy as jnp
+
+    from super_resolution_tpu.config import DataConfig
+    from super_resolution_tpu.data import (
+        denormalize,
+        list_images,
+        normalize,
+    )
+    from super_resolution_tpu.metrics import psnr01 as psnr_fn
+    from super_resolution_tpu.ops import bicubic_downsample
+    from super_resolution_tpu.parallel import tiled_upscale
+    from super_resolution_tpu.train.evaluate import _load_image
+
+    dc = DataConfig()
+    whole_db, tiled_db = [], []
+    paths = list_images(val_dir)[:max_images]
+    for path in paths:
+        hr01 = _load_image(path)
+        h, w = (hr01.shape[0] // scale) * scale, \
+            (hr01.shape[1] // scale) * scale
+        hr01 = jnp.asarray(hr01[:h, :w])
+        lrn = normalize(bicubic_downsample(hr01, scale),
+                        dc.normalize_mean, dc.normalize_std)
+
+        def score(srn):
+            sr01 = jnp.clip(denormalize(srn, dc.normalize_mean,
+                                        dc.normalize_std), 0.0, 1.0)
+            return float(psnr_fn(sr01, hr01))
+
+        whole_db.append(score(infer_fn(lrn[None])[0]))
+        tiled_db.append(score(tiled_upscale(
+            infer_fn, lrn, scale=scale, tile=h // scale,
+            tile_w=tile_w, halo=halo, tile_batch=1)))
+    mw = float(np.mean(whole_db))
+    mt = float(np.mean(tiled_db))
+    return {
+        "val_dir": os.path.abspath(val_dir),
+        "n_images": len(paths),
+        "halo": int(halo),
+        "tile_w": int(tile_w),
+        "psnr_gt_whole_db": round(mw, 4),
+        "psnr_gt_tiled_db": round(mt, 4),
+        "delta_db": round(mt - mw, 4),
     }
 
 

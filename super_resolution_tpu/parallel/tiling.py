@@ -78,27 +78,65 @@ def plan_tiles(h: int, w: int, tile: int, halo: int,
             _axis_offsets(w, tile_w, tile_w - 2 * halo))
 
 
+# Measured relative forward rate of the fused kernel vs column HEIGHT
+# (128-wide columns, shipping knobs).  Sources: the round-4
+# constant-pixel height sweep (BENCHNOTES "Constant-pixel column-height
+# sweep": raw 47.1 / 45.0 / 44.4 / 44.7 / 39.9 MP/s at h = 128 / 256 /
+# 512 / 1024 / 2048) and the round-4/5 end-to-end A/B (effective rate =
+# MP/s x overlap waste: 44.9 at 704, 43.1 at 1056, 38.8 at 2048).
+# Normalized to the 256-1024 plateau; piecewise-linear between knots,
+# clamped at the ends.  Heights on the plateau run near speed; the
+# 2048-high chain pays ~11-14% — which is why min-area-tie-TALLER
+# (round 4's objective) picked the known-slower geometry for any
+# bucket-multiple frame height (VERDICT round 4, weak #3).
+_HEIGHT_RATE_KNOTS = ((128, 1.03), (256, 1.0), (704, 1.0),
+                      (1056, 0.96), (2048, 0.865))
+
+
+def _height_rate(t: int) -> float:
+    """Piecewise-linear interpolation of the measured height-rate curve
+    (clamped to the end knots)."""
+    knots = _HEIGHT_RATE_KNOTS
+    if t <= knots[0][0]:
+        return knots[0][1]
+    for (h0, r0), (h1, r1) in zip(knots, knots[1:]):
+        if t <= h1:
+            return r0 + (r1 - r0) * (t - h0) / (h1 - h0)
+    return knots[-1][1]
+
+
 def bucket_tile_h(h: int, tile_h: int, halo: int, bucket: int) -> int:
-    """Waste-minimizing BUCKETED tile height: the multiple of ``bucket``
-    in (2*halo, min(tile_h, h)] whose clamped vertical grid covers the
-    frame with the least total tile area (ties broken toward taller
-    tiles — fewer dispatches).
+    """Rate-aware BUCKETED tile height: the multiple of ``bucket`` in
+    (2*halo, min(tile_h, h)] minimizing estimated frame time — total
+    clamped-grid tile area divided by the measured height-dependent
+    forward rate (``_HEIGHT_RATE_KNOTS``) — ties broken toward taller
+    tiles (fewer dispatches).
 
     This is the height-bucketing planner for column tiling on
-    variable-height streams (ROADMAP round-5 candidate 2): full-height
-    columns are the fastest measured 2K geometry (BENCHNOTES round-4
-    campaign) but compile per frame HEIGHT.  Quantizing the tile height
-    to multiples of ``bucket`` bounds the set of compiled shapes to the
-    distinct multiples actually used, while the clamped grid keeps
-    fidelity exact-by-construction (no padding — conv biases make a
-    zero-padded region non-zero after the first layer and that leaks
-    back through later convs at the true frame border; see
-    ``tiled_upscale``'s ``align`` note).  A frame whose height is itself
-    a multiple of ``bucket`` gets a true full-height column (one
-    vertical tile, zero vertical waste); otherwise the planner trades a
-    small vertical overlap (e.g. 1.02x at h=2000, bucket=256) for shape
-    reuse.  Falls back to ``min(tile_h, h)`` (the unbucketed clamp,
-    i.e. a per-height compile) when no multiple fits.
+    variable-height streams (ROADMAP round-5 candidate 2): quantizing
+    the tile height to multiples of ``bucket`` bounds the set of
+    compiled shapes to the distinct multiples actually used, while the
+    clamped grid keeps fidelity exact-by-construction (no padding —
+    conv biases make a zero-padded region non-zero after the first
+    layer and that leaks back through later convs at the true frame
+    border; see ``tiled_upscale``'s ``align`` note).
+
+    Round 4 minimized AREA alone with ties toward taller — but the
+    height sweep shows the fused kernel runs ~11-14% slower on a
+    2048-high chain than on the 256-1024 plateau (BENCHNOTES), so for
+    a 2048-high frame pure min-area picked the full-height column and
+    forfeited a measured +12% (704x128 b2 = 40.99 vs 36.50 MP/s/chip
+    end-to-end, round-4 A/B).  Dividing area by the measured rate makes
+    the planner choose the capped geometry exactly where the hardware
+    does.
+
+    Falls back to ``min(tile_h, h)`` (the unbucketed clamp, i.e. a
+    per-height compile) when no multiple fits; if even that clamp is
+    <= 2*halo (short frame, tall halo) it returns ``tile_h`` unchanged
+    so ``plan_tiles`` clamps the vertical axis to the whole frame just
+    as the unbucketed path would (round-4 ADVICE: the clamped fallback
+    used to hand plan_tiles an inadmissible tile and raise where the
+    unbucketed path worked).
     """
     cap = min(tile_h, h)
     best = None
@@ -106,10 +144,18 @@ def bucket_tile_h(h: int, tile_h: int, halo: int, bucket: int) -> int:
         if t - 2 * halo <= 0:
             continue
         k = 1 if t >= h else math.ceil((h - t) / (t - 2 * halo)) + 1
-        key = (k * t, -t)
+        # estimated frame time: tile area over the measured height rate,
+        # plus a small per-dispatch regularizer (0.3%/vertical tile) so
+        # near-equal-cost geometries resolve toward fewer dispatches
+        # rather than letting sub-percent rate-table noise pick a
+        # many-tile grid.
+        cost = (k * t / _height_rate(t)) * (1.0 + 0.003 * k)
+        key = (cost, -t)
         if best is None or key < best[0]:
             best = (key, t)
-    return cap if best is None else best[1]
+    if best is None:
+        return tile_h if cap <= 2 * halo else cap
+    return best[1]
 
 
 def _ramp(t_hr: int, ramp_len: int) -> np.ndarray:

@@ -20,6 +20,7 @@ from super_resolution_tpu.config import GeneratorConfig
 from super_resolution_tpu.halo_sweep import (
     halo_meta_path,
     read_admissible_halo,
+    select_admissible,
     structured_probe,
     sweep_admissible_halo,
     write_halo_meta,
@@ -152,4 +153,120 @@ def test_halo_auto_without_stamp_falls_back(tmp_path, capsys):
     rc = main(["upscale", "--image", ip, "--checkpoint", pth, "--out",
                op, "--tile", "32", "--halo", "auto", *SMALL_ARGS])
     assert rc == 0
-    assert "using conservative halo=8" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "using conservative halo=8" in out
+    assert "no release-metadata sidecar" in out
+
+
+@pytest.mark.fast
+def test_select_admissible_requires_passing_suffix():
+    """Round-4 ADVICE: a small halo that clears the threshold while a
+    LARGER one fails is probe noise, not admissibility — the pick must
+    be the smallest halo of the largest passing suffix."""
+    rows = [{"halo": 2, "psnr_vs_whole_db": 56.0},   # noise "pass"
+            {"halo": 4, "psnr_vs_whole_db": 54.0},   # fails
+            {"halo": 6, "psnr_vs_whole_db": 57.0},
+            {"halo": 8, "psnr_vs_whole_db": 60.0}]
+    assert select_admissible(rows, 55.0) == 6
+    # clean monotone case: minimal passing halo
+    rows = [{"halo": 2, "psnr_vs_whole_db": 50.0},
+            {"halo": 4, "psnr_vs_whole_db": 56.0},
+            {"halo": 8, "psnr_vs_whole_db": 60.0}]
+    assert select_admissible(rows, 55.0) == 4
+    # nothing passes
+    assert select_admissible(rows, 90.0) is None
+    # everything passes → smallest
+    assert select_admissible(rows, 40.0) == 2
+
+
+@pytest.mark.fast
+def test_halo_arg_rejects_malformed(capsys):
+    """Round-4 ADVICE: '8x' must be an argparse usage error at parse
+    time, not a ValueError traceback from _resolve_halo."""
+    with pytest.raises(SystemExit) as ei:
+        main(["upscale", "--image", "x.png", "--checkpoint", "c.pth",
+              "--out", "y.png", "--halo", "8x"])
+    assert ei.value.code == 2
+    assert "integer or 'auto'" in capsys.readouterr().err
+
+
+def test_export_stamps_by_default_and_auto_is_default(tmp_path, capsys):
+    """Round-4 VERDICT weak #5: export must stamp WITHOUT extra flags,
+    and upscale's default --halo must resolve it (auto is the
+    default)."""
+    out = str(tmp_path / "release.pth")
+    rc = main(["export", "--checkpoint", _small_pth(tmp_path), "--out",
+               out, "--sweep_frame", "96", "--sweep_tile_w", "32",
+               "--sweep_halos", "2,4,8", *SMALL_ARGS])
+    assert rc == 0
+    assert os.path.exists(out + ".meta.json")
+    with open(out + ".meta.json") as f:
+        meta = json.load(f)
+    assert meta["method"] == "structured_probe_sweep"
+    capsys.readouterr()
+
+    img = (np.random.RandomState(0).rand(40, 40, 3) * 255
+           ).astype(np.uint8)
+    ip = str(tmp_path / "in.png")
+    Image.fromarray(img).save(ip)
+    op = str(tmp_path / "sr.png")
+    # NO --halo flag: auto is the default and reads the stamp
+    rc = main(["upscale", "--image", ip, "--checkpoint", out, "--out",
+               op, "--tile", "32", *SMALL_ARGS])
+    assert rc == 0
+    assert (f"halo={meta['admissible_halo']} from release metadata"
+            in capsys.readouterr().out)
+
+
+def test_export_no_halo_sweep_skips_sidecar(tmp_path):
+    out = str(tmp_path / "release.pth")
+    rc = main(["export", "--checkpoint", _small_pth(tmp_path), "--out",
+               out, "--no-halo_sweep", *SMALL_ARGS])
+    assert rc == 0
+    assert os.path.exists(out)
+    assert not os.path.exists(out + ".meta.json")
+
+
+def test_halo_auto_with_null_stamp_distinct_message(tmp_path, capsys):
+    """Round-4 ADVICE: sidecar-with-admissible_halo=null must message
+    differently from no-sidecar (the sweep RAN and found nothing)."""
+    pth = _small_pth(tmp_path)
+    write_halo_meta(pth, {"admissible_halo": None, "threshold_db": 55.0})
+    img = (np.random.RandomState(1).rand(24, 24, 3) * 255
+           ).astype(np.uint8)
+    ip = str(tmp_path / "in.png")
+    Image.fromarray(img).save(ip)
+    op = str(tmp_path / "sr.png")
+    rc = main(["upscale", "--image", ip, "--checkpoint", pth, "--out",
+               op, "--tile", "32", *SMALL_ARGS])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "found NO admissible halo" in out
+    assert "no release-metadata sidecar" not in out
+
+
+def test_export_val_dir_contract_in_sidecar(tmp_path, capsys):
+    """--val_dir wires the tools/halo_parity.py contract-level
+    measurement (PSNR-vs-GT whole vs tiled on real images) into the
+    release sidecar."""
+    vd = tmp_path / "val"
+    vd.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8)
+                        ).save(vd / f"{i}.png")
+    out = str(tmp_path / "release.pth")
+    rc = main(["export", "--checkpoint", _small_pth(tmp_path), "--out",
+               out, "--sweep_frame", "96", "--sweep_tile_w", "32",
+               "--sweep_halos", "2,4,8", "--val_dir", str(vd),
+               "--val_max_images", "2", *SMALL_ARGS])
+    assert rc == 0
+    with open(out + ".meta.json") as f:
+        meta = json.load(f)
+    vc = meta["val_contract"]
+    assert vc["n_images"] == 2
+    assert vc["halo"] == meta["admissible_halo"]
+    assert vc["psnr_gt_whole_db"] > 0 and vc["psnr_gt_tiled_db"] > 0
+    # the contract statement: tiling at the stamped halo moves
+    # PSNR-vs-GT by far less than the 0.1 dB parity budget
+    assert abs(vc["delta_db"]) < 0.1

@@ -225,30 +225,41 @@ def test_tiled_align_clamps_effective_tiles():
 
 @pytest.mark.fast
 def test_bucket_tile_h_planner():
-    """Height bucketing (ROADMAP round-5 candidate 2): the planner picks
-    the waste-minimizing multiple of the bucket, exact-height frames get
-    a true full-height column, and impossible buckets fall back to the
-    unbucketed clamp."""
-    import math
-
-    # height is itself a multiple: zero vertical waste, one tile
-    assert bucket_tile_h(2048, 4096, 8, 256) == 2048
-    # non-multiple: a multiple of the bucket, optimal by brute force
-    h, halo, bucket = 2000, 8, 256
-    t = bucket_tile_h(h, 4096, halo, bucket)
-    assert t % bucket == 0 and 0 < t <= h
-
-    def cost(T):
-        k = 1 if T >= h else math.ceil((h - T) / (T - 2 * halo)) + 1
-        return (k * T, -T)
-
-    assert cost(t) == min(cost(T) for T in range(bucket, h + 1, bucket))
+    """Rate-aware height bucketing (VERDICT round-4 item 3): the planner
+    minimizes estimated frame time (area over the measured height-rate
+    curve), NOT area alone — so for a 2048-high frame it picks a capped
+    plateau-height column instead of the full-height column the height
+    sweep measured ~11-14% slower (BENCHNOTES round-4 campaign:
+    704x128 b2 = 40.99 vs full-height 36.50 MP/s/chip)."""
+    # h=2048 is the flagship case: full-height is a bucket multiple with
+    # the least AREA, but the rate curve makes a capped column cheaper —
+    # the round-4 min-area planner returned 2048 here and forfeited the
+    # measured +12%.
+    t = bucket_tile_h(2048, 4096, 8, 256)
+    assert t % 256 == 0 and t < 2048, t
+    assert 256 <= t <= 1056, f"capped choice should sit on the plateau: {t}"
+    # at the fine bucket the planner lands on the measured end-to-end
+    # winner geometry (704-high columns, halo=4 flagship path)
+    assert bucket_tile_h(2048, 4096, 4, 64) == 704
+    # plateau-height frames keep the true full-height column (zero
+    # vertical waste, and the rate curve is flat there)
+    assert bucket_tile_h(1024, 4096, 8, 256) == 1024
+    assert bucket_tile_h(512, 4096, 8, 256) == 512
+    # non-multiple: result is a multiple of the bucket inside the frame
+    t = bucket_tile_h(2000, 4096, 8, 256)
+    assert t % 256 == 0 and 0 < t <= 2000
     # the cap bounds the choice
     assert bucket_tile_h(2000, 512, 8, 256) <= 512
     # no multiple fits below the frame/cap: native fallback
     assert bucket_tile_h(100, 4096, 8, 256) == 100
     # multiples at or under 2*halo are skipped, not selected
     assert bucket_tile_h(64, 4096, 30, 32) == 64
+    # short-frame fallback (round-4 ADVICE): when even the clamped cap
+    # is <= 2*halo, return the original tall cap so plan_tiles clamps
+    # the vertical axis whole-frame instead of raising
+    assert bucket_tile_h(12, 4096, 8, 256) == 4096
+    assert plan_tiles(12, 300, bucket_tile_h(12, 4096, 8, 256), 8,
+                      tile_w=128)[0][0] == 12
 
 
 @pytest.mark.fast
