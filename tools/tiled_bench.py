@@ -10,12 +10,15 @@ not block and bulk fetches run at ~15 MB/s (BENCHNOTES.md), so the 8K
 output must stay on device.
 
 Usage: python tools/tiled_bench.py [--frame 2048] [--tile_w 128] [--halo 4]
-(defaults = the measured-winner full-height column geometry: tile_h =
-frame height, tile_w 128, batch 1, halo 4 — BENCHNOTES round-4 geometry
-campaigns, 38.86 MP/s/chip vs 34.59 at halo=8 vs 31.24 for square
-384/b2.  halo=4 fidelity is gated per-checkpoint by
-tools/halo_parity.py: on the round-4 trained GAN checkpoint tiled
-output sits 60 dB from whole-frame and +0.0015 dB on PSNR-vs-GT.)
+(defaults = the measured-winner HEIGHT-CAPPED column geometry the
+rate-aware planner picks: bucket_h 64 → 704-high 128-wide columns,
+batch 2, halo 4 — 41.07 MP/s/chip on the 2048² flagship path vs 38.86
+for the round-4 full-height column and 31.24 for square 384/b2,
+BENCHNOTES round-5 completion sweep.  These are also the CLI's
+fused-path defaults (cli._resolve_tile_geometry).  halo=4 fidelity is
+gated per-checkpoint by tools/halo_parity.py / the export-time stamp:
+on the round-4 trained GAN checkpoint tiled output sits 60 dB from
+whole-frame and +0.0015 dB on PSNR-vs-GT.)
 """
 
 import argparse
@@ -44,15 +47,19 @@ def main():
     ap.add_argument("--frame_h", type=int, default=None,
                     help="LR frame height when different from --frame "
                          "(misaligned/variable-height stream probes)")
-    ap.add_argument("--bucket_h", type=int, default=None,
+    ap.add_argument("--bucket_h", type=int, default=64,
                     help="height-bucketed column planning "
                          "(tiled_upscale bucket_h / CLI --tile_bucket): "
-                         "quantize the tile height to waste-minimizing "
-                         "multiples of this")
+                         "quantize the tile height to rate-aware "
+                         "multiples of this.  Default 64 — the planner "
+                         "picks the measured-winner 704-high capped "
+                         "columns on a 2048 frame (41.07 MP/s/chip, "
+                         "BENCHNOTES round 5); 0 disables bucketing "
+                         "(tile = --tile or frame height)")
     ap.add_argument("--tile", type=int, default=None,
-                    help="tile height (default: frame height — the "
-                         "measured-winner full-height column geometry, "
-                         "BENCHNOTES round 4)")
+                    help="tile height cap (default: frame height; the "
+                         "rate-aware --bucket_h planner caps it to the "
+                         "measured plateau)")
     ap.add_argument("--tile_w", type=int, default=128,
                     help="rectangular tiles; --tile >= frame height with "
                          "a narrow --tile_w = full-height column tiling "
@@ -66,10 +73,13 @@ def main():
                          "(+0.0015 dB vs whole-frame on the round-4 "
                          "GAN checkpoint); the CLI ships the more "
                          "conservative 8 for arbitrary checkpoints")
-    ap.add_argument("--tile_batch", type=int, default=1,
-                    help="1 for column tiles (a full-height column is "
-                         "already 256 pipeline bands; batching only adds "
-                         "HBM pressure — BENCHNOTES round 4)")
+    ap.add_argument("--tile_batch", type=int, default=2,
+                    help="2 for the capped 704-row columns (two in "
+                         "flight hide dispatch gaps: 41.07 vs 40.15 at "
+                         "b1; b3 LOSES to HBM pressure, 38.27 — "
+                         "BENCHNOTES round 5.  Full-height columns "
+                         "prefer 1: a 2048-row column is already 256 "
+                         "pipeline bands)")
     ap.add_argument("--conv_impl", default="pallas_cf")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--decompose", action="store_true",
@@ -93,6 +103,8 @@ def main():
     frame_h = args.frame_h if args.frame_h is not None else args.frame
     if args.tile is None:
         args.tile = frame_h
+    if args.bucket_h == 0:
+        args.bucket_h = None
     if args.fwd_carry is not None:
         from super_resolution_tpu.ops.pallas import dense_block_cf
         dense_block_cf.FWD_CARRY_ENABLED = args.fwd_carry
