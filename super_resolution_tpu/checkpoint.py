@@ -90,7 +90,7 @@ def restore_generator_params(ckpt_dir: str,
     raw training params.
 
     When ``ema_decay`` is given, the EMA preference is MATURITY-GATED:
-    a checkpoint saved before 3/(1−decay) steps
+    a checkpoint saved before 5/(1−decay) steps
     (:func:`~super_resolution_tpu.config.ema_maturity_steps`) gets the
     raw params with a warning — below that horizon the EMA is still
     dominated by early-training weights and is the run's *worst*

@@ -487,7 +487,7 @@ def main(argv=None):
                    default=None,
                    help="include params_ema in the release (default: "
                         "auto — included only when the checkpoint step "
-                        "is past the EMA maturity horizon 3/(1-decay), "
+                        "is past the EMA maturity horizon 5/(1-decay), "
                         "because importers prefer params_ema and an "
                         "immature EMA is the run's worst weights; "
                         "--ema forces it in, --no-ema strips it)")

@@ -272,18 +272,23 @@ class TrainConfig:
 
 
 def ema_maturity_steps(decay: float) -> int:
-    """Steps before the EMA tree is a release-grade artifact: 3 time
-    constants of the e ← d·e + (1−d)·p recurrence, i.e. 3/(1−d) (3000
+    """Steps before the EMA tree is a release-grade artifact: 5 time
+    constants of the e ← d·e + (1−d)·p recurrence, i.e. 5/(1−d) (5000
     at the default decay 0.999).
 
     Below this the EMA is still dominated by early-training weights —
     the round-4 on-chip demo measured final EMA at 24.85 vs raw params'
-    26.15 dB PSNR-RGB after ~3000 total steps (docs/demo_round4), the
-    classic decay-time-constant effect — so eval/export must not prefer
-    it for short runs (round-4 VERDICT weak #6)."""
+    26.15 dB PSNR-RGB after ~3000 total steps (docs/demo_round4), and
+    the round-5 10k-step demo measured the 3τ point DIRECTLY: a
+    from-scratch EMA at exactly 3000 steps still evaluated 1.4 dB
+    below raw params (23.55 vs ~25.0 — e⁻³ ≈ 5% residual random-init
+    weight is not negligible through a 350-conv network), while the
+    10τ warm-started GAN EMA beat raw by +0.83 dB (docs/demo_round5).
+    5τ (<1% residual) is the measured-safe horizon; eval/export must
+    not prefer the EMA before it (round-4 VERDICT weak #6)."""
     import math
 
-    return int(math.ceil(3.0 / max(1e-9, 1.0 - decay)))
+    return int(math.ceil(5.0 / max(1e-9, 1.0 - decay)))
 
 
 def preset(name: str) -> TrainConfig:

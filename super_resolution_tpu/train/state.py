@@ -64,7 +64,7 @@ def ema_update(cfg: TrainConfig, g_ema, g_params):
 def eval_params(cfg: TrainConfig, state: "GANTrainState"):
     """The params eval/sampling should use: the EMA tree when
     maintained, cfg.eval_use_ema (the family's release convention), AND
-    the run is past the EMA's maturity horizon (3/(1−decay) steps —
+    the run is past the EMA's maturity horizon (5/(1−decay) steps —
     config.ema_maturity_steps); else the raw training params.
 
     The maturity gate closes round-4 VERDICT weak #6: an EMA with decay
