@@ -95,7 +95,13 @@ def plan_tiles(h: int, w: int, tile: int, halo: int,
 # model end-to-end: waste-corrected rates are flat ~45 MP/s across
 # 512-768-high columns, so tile AREA separates plateau candidates and
 # the rate term only demotes tall chains.
-_HEIGHT_RATE_KNOTS = ((128, 1.03), (256, 1.0), (704, 1.0),
+# (the 47.1 MP/s raw measurement at 128-high is amortization-
+# confounded — BENCHNOTES flags it, and end-to-end 128-tiles measured
+# SLOWER (29.0 vs 31.4, round 2) — so the 128 knot sits on the plateau,
+# not above it: a planner rewarding 128-high columns would split a
+# 1080-row frame into nine dispatches chasing a rate that does not
+# survive end-to-end.)
+_HEIGHT_RATE_KNOTS = ((128, 1.0), (256, 1.0), (704, 1.0),
                       (1056, 0.96), (2048, 0.89))
 
 

@@ -244,6 +244,12 @@ def test_bucket_tile_h_planner():
     # pick either, but never the measured-loser middle heights
     t = bucket_tile_h(2048, 4096, 8, 256)
     assert t in (768, 2048), t
+    # the 128-high raw-rate measurement is amortization-confounded and
+    # 128-tiles measured SLOWER end-to-end (29.0 vs 31.4, round 2) —
+    # the planner must not split a ~1080-row frame into nine 128-high
+    # dispatches chasing it (the 128 knot sits ON the plateau)
+    assert bucket_tile_h(1080, 4096, 4, 64) == 576   # two dispatches
+    assert bucket_tile_h(1440, 4096, 4, 64) >= 448
     # plateau-height frames keep the true full-height column (zero
     # vertical waste, and the rate curve is flat there)
     assert bucket_tile_h(1024, 4096, 8, 256) == 1024
