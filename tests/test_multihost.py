@@ -287,9 +287,15 @@ def test_cli_multihost_two_process_handshake(tmp_path):
     metrics — the global-batch-semantics contract across the DCN
     boundary, not just within one process."""
     root = _write_images(tmp_path, size=64)
-    # bind/close/reuse of an ephemeral port is a TOCTOU race (another
-    # process can claim it between close and the coordinator's bind) —
-    # retry the whole launch once on a coordinator bind failure.
+    # Transient environmental failures are possible here: the
+    # bind/close/reuse ephemeral-port TOCTOU race (another process can
+    # claim the port between close and the coordinator's bind), and
+    # coordinator/gloo connect timeouts under host load (observed once
+    # as a one-shot full-suite flake in round 5 — green in isolation,
+    # file-level, and the full-suite re-run).  Retry the WHOLE launch
+    # once on any subprocess failure, printing the first attempt's
+    # tails so a deterministic regression still fails loudly on the
+    # second attempt with both logs visible.
     for attempt in range(2):
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))
@@ -302,10 +308,12 @@ def test_cli_multihost_two_process_handshake(tmp_path):
             outs.append(out)
         if all(p.returncode == 0 for p in procs):
             break
-        bind_race = any("address already in use" in o.lower()
-                        for o in outs)
-        assert bind_race and attempt == 0, \
-            f"p0:\n{outs[0][-1500:]}\np1:\n{outs[1][-1500:]}"
+        print(f"[handshake] attempt {attempt} failed "
+              f"(rc={[p.returncode for p in procs]}):\n"
+              f"p0:\n{outs[0][-1500:]}\np1:\n{outs[1][-1500:]}")
+        assert attempt == 0, \
+            f"both attempts failed; p0:\n{outs[0][-1500:]}\n" \
+            f"p1:\n{outs[1][-1500:]}"
 
     # primary-only side effects: step logs come from process 0 only
     got = _step2_metrics(tmp_path / "log_two")
