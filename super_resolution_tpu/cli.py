@@ -442,6 +442,15 @@ def main(argv=None):
                     help="drain the current backlog and exit")
     sv.add_argument("--max_frames", type=int, default=None,
                     help="exit after N frames (default: run forever)")
+    sv.add_argument("--prewarm", default=None,
+                    help="comma-separated WxH frame sizes (e.g. "
+                         "'1920x1080,2048x2048') to compile BEFORE "
+                         "watching: each size runs a synthetic frame "
+                         "through the full tiled path so the planner's "
+                         "tile shapes (and the persistent compile "
+                         "cache) are hot when the first real frame "
+                         "lands — a cold 23-block column-shape compile "
+                         "is minutes on TPU")
 
     # ---- export ----
     x = sub.add_parser("export",
@@ -685,6 +694,20 @@ def main(argv=None):
                                 bucket_h=bucket_h,
                                 tile_batch=args.tile_batch, mesh=mesh)
             return np.asarray(to_uint8_image(srn, cfg.data))
+
+        if args.prewarm:
+            import time as _time
+
+            for size in args.prewarm.split(","):
+                try:
+                    w, h = (int(v) for v in size.lower().split("x"))
+                except ValueError:
+                    raise SystemExit(
+                        f"--prewarm expects WxH sizes, got {size!r}")
+                t0 = _time.perf_counter()
+                upscale_u8(np.zeros((h, w, 3), np.uint8))
+                print(f"[serve] prewarmed {w}x{h} in "
+                      f"{_time.perf_counter() - t0:.1f}s", flush=True)
 
         n = serve_watch(upscale_u8, args.watch, args.out,
                         scale=cfg.generator.scale, poll_s=args.poll,

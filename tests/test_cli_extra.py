@@ -199,6 +199,38 @@ def test_serve_watch_drains_backlog(tmp_path):
     assert len((out / "serve_log.jsonl").read_text().splitlines()) == 2
 
 
+def test_serve_prewarm_compiles_then_serves(tmp_path, capsys):
+    """`serve --prewarm WxH,...` runs synthetic frames through the full
+    tiled path before watching, so the planner's tile shapes (and the
+    persistent compile cache) are hot when the first real frame lands —
+    a cold 23-block column-shape compile is minutes on TPU."""
+    from PIL import Image
+
+    torch.manual_seed(0)
+    small_pth = str(tmp_path / "sg.pth")
+    torch.save(RRDBNetTorch(nf=16, nb=1, gc=8).state_dict(), small_pth)
+    watch = tmp_path / "incoming"
+    out = tmp_path / "sr"
+    watch.mkdir()
+    Image.fromarray(np.random.RandomState(3).randint(
+        0, 256, (24, 32, 3), dtype=np.uint8)).save(watch / "f0.png")
+
+    rc = main(["serve", "--checkpoint", small_pth, "--watch", str(watch),
+               "--out", str(out), "--once", "--tile", "48",
+               "--prewarm", "32x24,48x48", "--dtype", "float32"])
+    assert rc == 0
+    got = capsys.readouterr().out
+    assert "prewarmed 32x24" in got and "prewarmed 48x48" in got
+    with Image.open(out / "f0_x4.png") as im:
+        assert im.size == (128, 96)
+
+    # malformed size is a friendly SystemExit, not a traceback
+    with pytest.raises(SystemExit, match="WxH"):
+        main(["serve", "--checkpoint", small_pth, "--watch", str(watch),
+              "--out", str(out), "--once", "--prewarm", "banana",
+              "--dtype", "float32"])
+
+
 def test_eval_and_upscale_cli_data_parallel_match_single(env, capsys):
     """--data_parallel on the inference surface (round-2 VERDICT missing
     #3): mesh-sharded DP-of-tiles eval/upscale through the CLI must match
