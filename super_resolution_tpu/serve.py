@@ -87,11 +87,26 @@ def serve_watch(
         once: bool = False,
         max_frames: Optional[int] = None,
         log_path: Optional[str] = None,
+        pipeline_write: bool = True,
 ) -> int:
     """Run the watch loop.  ``upscale_fn``: uint8 HWC LR → uint8 HWC SR.
     ``once`` drains the current backlog and returns; otherwise loops
     until ``max_frames`` processed (None = forever).  Returns the number
-    of frames processed."""
+    of frames processed (all outputs are on disk when it returns).
+
+    ``pipeline_write`` (default on) moves PNG encode + save + log-append
+    into ONE background writer thread with a depth-1 queue: the encode
+    of frame N (seconds of single-core zlib at 8K output) overlaps the
+    decode + device compute of frame N+1 instead of serializing with it.
+    A single FIFO writer preserves per-frame output/log order; the
+    depth-1 bound caps in-flight SR frames (an 8192² uint8 frame is
+    ~200 MB).  Writer failures re-raise on the serve thread.  The
+    restart-resilience contract is unchanged: the durable processed
+    record is the output file's mtime, written strictly after a
+    successful encode."""
+    import queue as _queue
+    import threading
+
     from PIL import Image
 
     from super_resolution_tpu.data.image_io import merge_alpha, split_alpha
@@ -102,9 +117,49 @@ def serve_watch(
     pending: Dict[str, Tuple[float, int]] = {}
     n = 0
 
+    def _save_and_log(dst, arr, rec):
+        Image.fromarray(arr).save(dst)
+        with open(log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"[serve] {rec['frame']}: {rec['lr'][1]}x{rec['lr'][0]} → "
+              f"{rec['sr'][1]}x{rec['sr'][0]} in {rec['seconds']:.2f}s "
+              f"({rec['mp_per_sec']} MP/s)", flush=True)
+
+    wq = werr = wt = None
+    if pipeline_write:
+        wq = _queue.Queue(maxsize=1)
+        werr = []
+
+        def _writer():
+            while True:
+                item = wq.get()
+                try:
+                    if item is None:
+                        return
+                    _save_and_log(*item)
+                except Exception as e:
+                    werr.append(e)
+                finally:
+                    wq.task_done()
+
+        wt = threading.Thread(target=_writer, daemon=True,
+                              name="serve-writer")
+        wt.start()
+
+    def _flush(count: int) -> int:
+        if wq is not None:
+            wq.join()
+            wq.put(None)
+            wt.join()
+            if werr:
+                raise werr[0]
+        return count
+
     while True:
         seen = _scan(watch_dir)
         for path, sig in sorted(seen.items()):
+            if werr:
+                return _flush(n)            # re-raises the writer error
             if done.get(path) == sig:
                 continue
             stem, _ = os.path.splitext(os.path.basename(path))
@@ -137,7 +192,6 @@ def serve_watch(
             # a per-alpha-shape XLA compile that would otherwise inflate
             # the logged model throughput (ADVICE round 3).
             sr_u8 = merge_alpha(sr_u8, alpha_u8, scale)
-            Image.fromarray(sr_u8).save(dst)
             done[path] = sig2
             n += 1
             rec = {
@@ -149,14 +203,15 @@ def serve_watch(
                     sr_u8.shape[0] * sr_u8.shape[1] / 1e6 / max(dt, 1e-9),
                     3),
             }
-            with open(log_path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
-            print(f"[serve] {rec['frame']}: {lr_u8.shape[1]}x"
-                  f"{lr_u8.shape[0]} → {sr_u8.shape[1]}x{sr_u8.shape[0]} "
-                  f"in {dt:.2f}s ({rec['mp_per_sec']} MP/s)", flush=True)
+            if wq is not None:
+                wq.put((dst, sr_u8, rec))
+            else:
+                _save_and_log(dst, sr_u8, rec)
             if max_frames is not None and n >= max_frames:
-                return n
+                return _flush(n)
 
+        if werr:
+            return _flush(n)                # re-raises the writer error
         if once:
-            return n
+            return _flush(n)
         time.sleep(poll_s)

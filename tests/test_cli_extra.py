@@ -199,6 +199,66 @@ def test_serve_watch_drains_backlog(tmp_path):
     assert len((out / "serve_log.jsonl").read_text().splitlines()) == 2
 
 
+def test_serve_pipelined_write_matches_inline(tmp_path):
+    """The background-writer pipeline (PNG encode of frame N overlapping
+    compute of frame N+1) must be invisible in outputs: bit-identical
+    files and identical ordered log records vs the inline path."""
+    import json
+
+    from PIL import Image
+
+    from super_resolution_tpu.serve import serve_watch
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    rng = np.random.RandomState(7)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 256, (8, 10, 3), dtype=np.uint8)
+                        ).save(watch / f"f{i}.png")
+
+    def up(lr_u8):
+        return np.repeat(np.repeat(lr_u8, 4, 0), 4, 1)
+
+    outs = {}
+    for name, pipe in (("pipe", True), ("inline", False)):
+        out = tmp_path / name
+        n = serve_watch(up, str(watch), str(out), once=True,
+                        pipeline_write=pipe)
+        assert n == 3
+        outs[name] = {
+            p.name: np.asarray(Image.open(p))
+            for p in sorted(out.glob("*.png"))
+        }
+        log = [json.loads(l) for l in
+               (out / "serve_log.jsonl").read_text().splitlines()]
+        assert [r["frame"] for r in log] == ["f0.png", "f1.png",
+                                            "f2.png"]
+    assert set(outs["pipe"]) == set(outs["inline"])
+    for k in outs["pipe"]:
+        np.testing.assert_array_equal(outs["pipe"][k], outs["inline"][k])
+
+
+def test_serve_writer_error_propagates(tmp_path, monkeypatch):
+    """A failure in the background writer (disk full, bad path) must
+    re-raise on the serve thread, not vanish in a daemon thread."""
+    import PIL.Image
+
+    from super_resolution_tpu.serve import serve_watch
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    PIL.Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+        watch / "f.png")
+
+    def boom(self, *a, **k):
+        raise OSError("simulated disk full")
+
+    monkeypatch.setattr(PIL.Image.Image, "save", boom)
+    with pytest.raises(OSError, match="disk full"):
+        serve_watch(lambda x: np.repeat(np.repeat(x, 4, 0), 4, 1),
+                    str(watch), str(tmp_path / "out"), once=True)
+
+
 def test_serve_prewarm_compiles_then_serves(tmp_path, capsys):
     """`serve --prewarm WxH,...` runs synthetic frames through the full
     tiled path before watching, so the planner's tile shapes (and the
