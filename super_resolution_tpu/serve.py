@@ -24,25 +24,21 @@ MP/s) to ``serve_log.jsonl``.  A frame is reprocessed if its file
 changes (new mtime/size).  Files still being written are skipped until
 their size is stable across two polls.
 
-Geometry: the default square 384/b2 tile grid compiles ONE shape for
-mixed frame sizes.  A fixed-size stream (the usual detector case)
-should instead pass ``--tile <frame_h> --tile_w 128 --tile_batch 1`` —
-full-height column tiling, measured +10% (34.59 vs 31.24 MP/s/chip at
-2048², BENCHNOTES round-4 geometry campaign) at the cost of one
-compile per distinct frame height.  A fixed-WIDTH stream with variable
-heights adds ``--tile_bucket 256``: the planner quantizes the column
-height to waste-minimizing multiples of 256 (``parallel/tiling.py
-bucket_tile_h``), so the stream reuses a bounded set of compiled
-shapes instead of compiling per height.  Adding ``--halo 4`` is worth
-a further +12% (38.86 MP/s at 2048²) once ``tools/halo_parity.py`` has
-cleared it for the deployed checkpoint (on the round-4 GAN weights:
-60 dB tiled-vs-whole, +0.0015 dB PSNR-vs-GT; the default stays 8
-because the admissible halo is a property of the trained weights'
-effective receptive field, not of the architecture).  Release
-checkpoints exported with ``cli export --halo_sweep`` (or
-``--stamp_halo N`` after an on-chip halo_parity run) carry their
-admissible halo in ``<release>.pth.meta.json`` — ``--halo auto`` then
-picks the fast geometry per checkpoint automatically.
+Geometry (round 5: the DEFAULT flags are the fast path): on the fused
+TPU path the CLI resolves rate-aware bucketed column tiling — tall cap,
+128-wide columns, 64-row height bucket — so the planner
+(``parallel/tiling.py bucket_tile_h``) picks the measured-winner capped
+column per frame height (41.07 MP/s/chip on 2048², 40.47 at 1920-high,
+BENCHNOTES round-5 campaign) and a variable-height fixed-width stream
+reuses a BOUNDED set of compiled shapes.  ``--halo`` defaults to
+``auto``: release checkpoints exported with ``cli export`` carry their
+stamped admissible halo in ``<release>.pth.meta.json`` (a property of
+the trained weights' effective receptive field — the round-4 GAN
+weights cleared halo=4 at 60 dB tiled-vs-whole, the round-5 10k run
+stamped 6), with a conservative halo=8 fallback when no stamp exists.
+The lax/CPU path keeps the square-384/b2 grid (column streaming buys
+nothing without the fused kernels).  ``--prewarm WxH,...`` compiles the
+expected frame sizes before watching.
 """
 
 from __future__ import annotations
