@@ -442,6 +442,12 @@ def main(argv=None):
                     help="drain the current backlog and exit")
     sv.add_argument("--max_frames", type=int, default=None,
                     help="exit after N frames (default: run forever)")
+    sv.add_argument("--pipeline_write",
+                    action=argparse.BooleanOptionalAction, default=True,
+                    help="overlap PNG encode+save of frame N with the "
+                         "compute of frame N+1 via a background writer "
+                         "thread (default on; --no-pipeline_write "
+                         "serializes, for debugging)")
     sv.add_argument("--prewarm", default=None,
                     help="comma-separated WxH frame sizes (e.g. "
                          "'1920x1080,2048x2048') to compile BEFORE "
@@ -711,7 +717,8 @@ def main(argv=None):
 
         n = serve_watch(upscale_u8, args.watch, args.out,
                         scale=cfg.generator.scale, poll_s=args.poll,
-                        once=args.once, max_frames=args.max_frames)
+                        once=args.once, max_frames=args.max_frames,
+                        pipeline_write=args.pipeline_write)
         print(f"[serve] processed {n} frames")
         return 0
 
