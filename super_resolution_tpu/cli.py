@@ -854,7 +854,9 @@ def main(argv=None):
         def load_any(path):
             """Params + structural cfg from a torch .pth or an orbax dir
             (the module-docstring contract: both formats accepted
-            everywhere a checkpoint is read)."""
+            everywhere a checkpoint is read).  Orbax restores are EMA
+            maturity-gated like every other read surface — blending an
+            immature EMA would poison both ends of the interpolation."""
             if os.path.isfile(path):
                 v, c = import_generator(load_pth(path))
                 return v["params"], c
@@ -863,7 +865,8 @@ def main(argv=None):
                     restore_generator_params,
                 )
 
-                p, step = restore_generator_params(path)
+                p, step = restore_generator_params(
+                    path, ema_decay=cfg.ema_decay)
                 p = jax.device_get(p)
                 print(f"[cli] restored orbax checkpoint at step {step}")
                 return p, infer_generator_cfg_from_params(p)

@@ -135,7 +135,10 @@ def test_interp_cli_roundtrip(tmp_path, small_pth):
 def test_interp_cli_orbax_vs_pth(data_dir, tmp_path):
     """interp honors the module contract: orbax dirs accepted everywhere
     a checkpoint is read — blend a trained orbax checkpoint against a
-    torch .pth (round-2 VERDICT weak #4)."""
+    torch .pth (round-2 VERDICT weak #4).  The orbax side is EMA
+    maturity-gated like every read surface (round-5): a step-1
+    checkpoint blends its RAW params, so the oracle restores with the
+    same gate."""
     ck = str(tmp_path / "ck")
     main(["train", "--dataset_dir", data_dir, "--steps", "1",
           "--batch_size", "2", "--hr_height", "32", "--warmup_batches",
@@ -153,7 +156,7 @@ def test_interp_cli_orbax_vs_pth(data_dir, tmp_path):
     from super_resolution_tpu.checkpoint import restore_generator_params
     from super_resolution_tpu.import_torch import import_generator, load_pth
 
-    pa, _ = restore_generator_params(ck)
+    pa, _ = restore_generator_params(ck, ema_decay=0.999)
     vb, _ = import_generator(load_pth(other))
     vm, _ = import_generator(load_pth(out))
     np.testing.assert_allclose(
