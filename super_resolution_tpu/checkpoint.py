@@ -76,6 +76,38 @@ def restore_checkpoint(
     return out["state"], data_state, step
 
 
+def ema_provenance_path(ckpt_dir: str) -> str:
+    return os.path.join(os.path.abspath(ckpt_dir), "ema_provenance.json")
+
+
+def write_ema_provenance(ckpt_dir: str, meta: dict) -> str:
+    """Record how the run's EMA tree was SEEDED (next to the orbax step
+    dirs).  A warm-started run seeds the EMA from the warm-start
+    weights (train/loop.py), not from random init — so its EMA is
+    trustworthy from step 0 and the step-count maturity gate must not
+    strip it (round-5 review: the canonical GAN fine-tune would
+    otherwise ship raw-only releases for its first 5/(1−decay) steps
+    while its EMA was seeded from a mature PSNR model)."""
+    import json as _json
+
+    os.makedirs(os.path.abspath(ckpt_dir), exist_ok=True)
+    path = ema_provenance_path(ckpt_dir)
+    with open(path, "w") as f:
+        _json.dump(meta, f, indent=2)
+        f.write("\n")
+    return path
+
+
+def read_ema_provenance(ckpt_dir: str) -> Optional[dict]:
+    import json as _json
+
+    path = ema_provenance_path(ckpt_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return _json.load(f)
+
+
 def restore_generator_params(ckpt_dir: str,
                              step: Optional[int] = None,
                              prefer_ema: bool = True,
@@ -92,20 +124,28 @@ def restore_generator_params(ckpt_dir: str,
     When ``ema_decay`` is given, the EMA preference is MATURITY-GATED:
     a checkpoint saved before 5/(1−decay) steps
     (:func:`~super_resolution_tpu.config.ema_maturity_steps`) gets the
-    raw params with a warning — below that horizon the EMA is still
-    dominated by early-training weights and is the run's *worst*
-    artifact (round-4 demo: 24.85 vs 26.15 dB PSNR-RGB; VERDICT round-4
-    weak #6)."""
+    raw params with a warning — below that horizon a FROM-SCRATCH EMA
+    is still dominated by its random-init seed and is the run's *worst*
+    artifact (round-4 demo: 24.85 vs 26.15 dB PSNR-RGB; the round-5
+    demo measured the 3τ point directly).  The gate keys on the EMA's
+    SEED, not just the step count: a warm-started run records
+    ``ema_provenance.json`` (warm_start) next to the step dirs, and its
+    EMA — seeded from the warm-start weights, not random init — is
+    trusted at any step."""
     g_params, g_ema, step = restore_generator_trees(ckpt_dir, step)
     if prefer_ema and g_ema is not None:
         if ema_decay is not None:
             from super_resolution_tpu.config import ema_maturity_steps
 
             need = ema_maturity_steps(ema_decay)
+            prov = read_ema_provenance(ckpt_dir)
+            if prov is not None and prov.get("warm_start"):
+                return g_ema, step
             if step < need:
                 print(f"[checkpoint] step-{step} checkpoint is inside "
                       f"the EMA maturity horizon ({need} steps at decay "
-                      f"{ema_decay}) — using raw params instead of the "
+                      f"{ema_decay}) and carries no warm-start "
+                      f"provenance — using raw params instead of the "
                       f"immature EMA (pass prefer_ema without ema_decay "
                       f"to force the EMA tree)")
                 return g_params, step

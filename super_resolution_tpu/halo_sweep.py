@@ -175,11 +175,23 @@ def val_dir_contract(
 
     dc = DataConfig()
     whole_db, tiled_db = [], []
-    paths = list_images(val_dir)[:max_images]
-    for path in paths:
+    n_used = 0
+    for path in list_images(val_dir):
+        if n_used >= max_images:
+            break
         hr01 = _load_image(path)
         h, w = (hr01.shape[0] // scale) * scale, \
             (hr01.shape[1] // scale) * scale
+        # the tiled pass needs an admissible tile: LR height must
+        # exceed 2*halo (plan_tiles contract) — skip tiny images
+        # instead of aborting the whole export after the expensive
+        # sweep (round-5 review: a 64-row val image used to crash the
+        # export and discard the sweep result)
+        if h // scale <= 2 * halo or w // scale < 1:
+            print(f"[halo] val contract: skipping {path} — LR "
+                  f"{w // scale}x{h // scale} too small to tile at "
+                  f"halo={halo}")
+            continue
         hr01 = jnp.asarray(hr01[:h, :w])
         lrn = normalize(bicubic_downsample(hr01, scale),
                         dc.normalize_mean, dc.normalize_std)
@@ -193,11 +205,20 @@ def val_dir_contract(
         tiled_db.append(score(tiled_upscale(
             infer_fn, lrn, scale=scale, tile=h // scale,
             tile_w=tile_w, halo=halo, tile_batch=1)))
+        n_used += 1
+    if not whole_db:
+        return {
+            "val_dir": os.path.abspath(val_dir),
+            "n_images": 0,
+            "halo": int(halo),
+            "tile_w": int(tile_w),
+            "note": "no val image large enough to tile at this halo",
+        }
     mw = float(np.mean(whole_db))
     mt = float(np.mean(tiled_db))
     return {
         "val_dir": os.path.abspath(val_dir),
-        "n_images": len(paths),
+        "n_images": n_used,
         "halo": int(halo),
         "tile_w": int(tile_w),
         "psnr_gt_whole_db": round(mw, 4),

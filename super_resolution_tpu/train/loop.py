@@ -51,7 +51,8 @@ from super_resolution_tpu.train.steps import (
 
 
 def _save_sample_grid(cfg: TrainConfig, infer_fn, state: GANTrainState,
-                      host_batch, step: int, out_dir: str, logger=None):
+                      host_batch, step: int, out_dir: str, logger=None,
+                      ema_warm: bool = False):
     """Periodic sample dump (the reference's ``save_image`` grid,
     SURVEY.md §3.1 [L5/obs]): rows = bicubic-×4 baseline | SR | HR, one
     column per sample."""
@@ -65,7 +66,9 @@ def _save_sample_grid(cfg: TrainConfig, infer_fn, state: GANTrainState,
     hr_uint8 = head["hr"] if isinstance(head, dict) else head
     batch = preprocess_batch(jax.random.key(0), head, cfg.data,
                              augment=False)
-    sr = infer_fn(_local_params(eval_params(cfg, state)), batch["lr"])
+    sr = infer_fn(_local_params(eval_params(cfg, state,
+                                            warm_start=ema_warm)),
+                  batch["lr"])
     sr_u8 = np.asarray(jax.device_get(to_uint8_image(sr, cfg.data)))
     hr_u8 = np.asarray(jax.device_get(hr_uint8))
     h, w = hr_u8.shape[1:3]
@@ -174,7 +177,11 @@ def train(cfg: TrainConfig,
                 restore_generator_params,
             )
 
-            g_params, at = restore_generator_params(init_g_from)
+            # maturity-gated like every other read surface: an immature
+            # from-scratch EMA must not seed the fine-tune (round-5
+            # review — this path used to prefer it ungated)
+            g_params, at = restore_generator_params(
+                init_g_from, ema_decay=cfg.ema_decay)
             print(f"[train] warm-starting G from step-{at} checkpoint")
         warm = jax.tree.map(lambda t, s: jnp.asarray(s, t.dtype),
                             state.g_params, g_params)
@@ -185,6 +192,18 @@ def train(cfg: TrainConfig,
             g_params=warm,
             g_ema=None if state.g_ema is None
             else jax.tree.map(jnp.array, warm))
+        # record the seed provenance next to the checkpoints: this run's
+        # EMA starts from the warm-start weights, not random init, so
+        # the step-count maturity gate does not apply to it
+        if mh.is_primary() and state.g_ema is not None:
+            from super_resolution_tpu.checkpoint import (
+                write_ema_provenance,
+            )
+
+            write_ema_provenance(cfg.checkpoint_dir, {
+                "warm_start": True,
+                "source": os.path.abspath(init_g_from),
+            })
     if resume:
         try:
             state, data_state, start_step = restore_checkpoint(
@@ -194,6 +213,14 @@ def train(cfg: TrainConfig,
             print(f"[train] resumed from step {start_step}")
         except FileNotFoundError:
             print("[train] no checkpoint found; starting fresh")
+
+    # is this run's EMA trusted regardless of step count?  True when the
+    # EMA was seeded from warm-start weights — this session's
+    # init_g_from, or the recorded provenance of the run being resumed.
+    from super_resolution_tpu.checkpoint import read_ema_provenance
+
+    ema_warm = bool(init_g_from) or bool(
+        (read_ema_provenance(cfg.checkpoint_dir) or {}).get("warm_start"))
 
     mesh = None
     if cfg.data_parallel > 1:
@@ -265,7 +292,8 @@ def train(cfg: TrainConfig,
                 and done % cfg.sample_interval == 0:
             _save_sample_grid(cfg, infer_fn, state,
                               _host_rows(last_host_batch),
-                              done, sample_dir, logger=logger)
+                              done, sample_dir, logger=logger,
+                              ema_warm=ema_warm)
         if eval_dir and mh.is_primary() \
                 and done % (eval_interval or cfg.checkpoint_interval) == 0:
             from super_resolution_tpu.train.evaluate import (
@@ -274,7 +302,9 @@ def train(cfg: TrainConfig,
 
             tile = max(cfg.data.lr_patch, 48)
             ev = evaluate_directory(cfg,
-                                    _local_params(eval_params(cfg, state)),
+                                    _local_params(eval_params(
+                                        cfg, state,
+                                        warm_start=ema_warm)),
                                     eval_dir, tile=tile,
                                     halo=min(8, tile // 4), max_images=8,
                                     infer_fn=infer_fn)

@@ -61,20 +61,26 @@ def ema_update(cfg: TrainConfig, g_ema, g_params):
                         g_ema, g_params)
 
 
-def eval_params(cfg: TrainConfig, state: "GANTrainState"):
+def eval_params(cfg: TrainConfig, state: "GANTrainState",
+                warm_start: bool = False):
     """The params eval/sampling should use: the EMA tree when
     maintained, cfg.eval_use_ema (the family's release convention), AND
-    the run is past the EMA's maturity horizon (5/(1−decay) steps —
-    config.ema_maturity_steps); else the raw training params.
+    the EMA is trustworthy — either the run is past the maturity
+    horizon (5/(1−decay) steps — config.ema_maturity_steps) or
+    ``warm_start`` says its seed was the warm-start weights rather than
+    random init (train/loop.py seeds the EMA from init_g_from, so the
+    step-count gate does not apply); else the raw training params.
 
     The maturity gate closes round-4 VERDICT weak #6: an EMA with decay
-    0.999 needs ~3000 steps to forget its init, so short runs used to
-    eval/sample their WORST weights.  Host-side only (syncs state.step)
-    — called at sample/eval intervals, never inside a jitted step."""
+    0.999 needs thousands of steps to forget a random init, so short
+    from-scratch runs used to eval/sample their WORST weights.
+    Host-side only (syncs state.step) — called at sample/eval
+    intervals, never inside a jitted step."""
     from super_resolution_tpu.config import ema_maturity_steps
 
-    if (cfg.eval_use_ema and state.g_ema is not None
-            and int(jax.device_get(state.step))
+    if cfg.eval_use_ema and state.g_ema is not None and (
+            warm_start
+            or int(jax.device_get(state.step))
             >= ema_maturity_steps(cfg.ema_decay)):
         return state.g_ema
     return state.g_params

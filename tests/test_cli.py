@@ -178,7 +178,7 @@ def test_interp_cli_rejects_mismatched_arch(tmp_path, small_pth):
 def test_export_cli_release_shape(data_dir, tmp_path, capsys):
     """cli export of a SHORT run strips the immature params_ema by
     default (importers prefer params_ema, and an EMA inside its
-    3/(1−decay) maturity horizon is the run's worst weights — round-4
+    5/(1−decay) maturity horizon is the run's worst weights — round-4
     VERDICT weak #6); --ema forces the full BasicSR release shape
     {params, params_ema}, whose import then yields the EMA tree."""
     ck = str(tmp_path / "ck")
@@ -247,3 +247,56 @@ def test_export_import_roundtrip():
     for a, b in zip(jax.tree.leaves(v["params"]),
                     jax.tree.leaves(v2["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_keeps_ema_for_warm_started_runs(data_dir, tmp_path,
+                                                capsys):
+    """The canonical fine-tune flow (pretrain → train --init_g_from):
+    the fine-tune's EMA is seeded from the warm-start weights, so a
+    short warm-started checkpoint must export WITH params_ema (round-5
+    review — the step-count gate alone stripped it), while the
+    from-scratch pretrain stays gated."""
+    pre = str(tmp_path / "pre")
+    main(["train", "--dataset_dir", data_dir, "--steps", "2",
+          "--batch_size", "2", "--hr_height", "32", "--warmup_batches",
+          "10", "--no_perceptual", "--checkpoint_interval", "2",
+          "--checkpoint_dir", pre, "--n_cpu", "1", *SMALL_ARGS])
+    ft = str(tmp_path / "ft")
+    main(["train", "--dataset_dir", data_dir, "--steps", "2",
+          "--batch_size", "2", "--hr_height", "32", "--warmup_batches",
+          "10", "--no_perceptual", "--checkpoint_interval", "2",
+          "--checkpoint_dir", ft, "--init_g_from", pre,
+          "--n_cpu", "1", *SMALL_ARGS])
+    capsys.readouterr()
+
+    out = str(tmp_path / "rel.pth")
+    rc = main(["export", "--checkpoint", ft, "--out", out,
+               "--no-halo_sweep", *SMALL_ARGS])
+    assert rc == 0
+    assert "maturity horizon" not in capsys.readouterr().out
+    sd = torch.load(out, weights_only=True)
+    assert set(sd) == {"params", "params_ema"}
+
+
+def test_export_val_dir_requires_a_halo_source(data_dir, tmp_path,
+                                               capsys):
+    """--val_dir with --no-halo_sweep and no --stamp_halo has no halo
+    to measure at — must be a usage error, not a silent skip (round-5
+    review)."""
+    with pytest.raises(SystemExit) as ei:
+        main(["export", "--checkpoint", str(tmp_path / "ck"),
+              "--out", str(tmp_path / "r.pth"), "--no-halo_sweep",
+              "--val_dir", data_dir, *SMALL_ARGS])
+    assert ei.value.code == 2
+    assert "needs a halo" in capsys.readouterr().err
+
+
+def test_export_ema_flag_warns_on_pth_input(small_pth, tmp_path,
+                                            capsys):
+    """--ema/--no-ema cannot act on a .pth input (the import already
+    collapsed it to one tree) — warn instead of silently ignoring."""
+    rc = main(["export", "--checkpoint", small_pth,
+               "--out", str(tmp_path / "r.pth"), "--ema",
+               "--no-halo_sweep", *SMALL_ARGS])
+    assert rc == 0
+    assert "no effect on a .pth input" in capsys.readouterr().out

@@ -638,3 +638,65 @@ def test_restore_generator_params_ema_maturity_gate(tmp_path):
     assert step == 10
     np.testing.assert_array_equal(np.asarray(jax.tree.leaves(got)[0]),
                                   ema0)
+
+
+def test_warm_start_provenance_unlocks_ema(tmp_path):
+    """Warm-started runs seed the EMA from the warm-start weights, not
+    random init (train/loop.py), so the step-count maturity gate must
+    not apply: the training loop records ema_provenance.json and every
+    maturity-gated read surface trusts the EMA at any step (round-5
+    review — the canonical GAN fine-tune used to ship raw-only
+    releases for its first 5/(1−decay) steps)."""
+    from super_resolution_tpu.checkpoint import (
+        read_ema_provenance,
+        restore_generator_params,
+        write_ema_provenance,
+    )
+    from super_resolution_tpu.train.loop import train
+
+    # pretrain a tiny run, then warm-start a second run from it via the
+    # REAL train() path (which must write the provenance marker)
+    pre = tiny_cfg(checkpoint_dir=str(tmp_path / "pre"),
+                   checkpoint_interval=2)
+    train(pre, total_steps=2)
+    ft = tiny_cfg(checkpoint_dir=str(tmp_path / "ft"),
+                  checkpoint_interval=2)
+    state = train(ft, total_steps=2, init_g_from=pre.checkpoint_dir)
+    prov = read_ema_provenance(ft.checkpoint_dir)
+    assert prov is not None and prov["warm_start"] is True
+
+    raw0 = np.asarray(jax.tree.leaves(state.g_params)[0])
+    ema0 = np.asarray(jax.tree.leaves(state.g_ema)[0])
+    assert np.abs(raw0 - ema0).max() > 0
+
+    # step 2 << 5000, but provenance says warm-started → EMA trusted
+    got, step = restore_generator_params(ft.checkpoint_dir,
+                                         ema_decay=ft.ema_decay)
+    assert step == 2
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(got)[0]),
+                                  ema0)
+    # the from-scratch pretrain has no marker and stays gated
+    assert read_ema_provenance(pre.checkpoint_dir) is None
+    pre_state_raw, _ = restore_generator_params(pre.checkpoint_dir,
+                                                ema_decay=pre.ema_decay)
+    pre_raw, _ = restore_generator_params(pre.checkpoint_dir,
+                                          prefer_ema=False)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(pre_state_raw)[0]),
+        np.asarray(jax.tree.leaves(pre_raw)[0]))
+
+    # eval_params honors the warm flag directly
+    from super_resolution_tpu.train.state import eval_params
+
+    assert eval_params(ft, state, warm_start=True) is state.g_ema
+    assert eval_params(ft, state, warm_start=False) is state.g_params
+
+    # a hand-written marker unlocks any checkpoint dir (e.g. external
+    # runs that predate the marker)
+    write_ema_provenance(pre.checkpoint_dir, {"warm_start": True})
+    got, _ = restore_generator_params(pre.checkpoint_dir,
+                                      ema_decay=pre.ema_decay)
+    pre_ema, _ = restore_generator_params(pre.checkpoint_dir)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(got)[0]),
+        np.asarray(jax.tree.leaves(pre_ema)[0]))

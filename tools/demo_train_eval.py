@@ -141,7 +141,7 @@ def main():
     from super_resolution_tpu.checkpoint import restore_generator_params
 
     # maturity-gated (config.ema_maturity_steps): a pretrain shorter
-    # than 3/(1−decay) steps gets raw params — its EMA still remembers
+    # than 5/(1−decay) steps gets raw params — its EMA still remembers
     # the random init (round-4 VERDICT weak #6)
     models["psnr"], _ = restore_generator_params(
         cfg.checkpoint_dir, ema_decay=cfg.ema_decay)

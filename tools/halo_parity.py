@@ -56,6 +56,13 @@ def main():
                          "PSNR-vs-ground-truth of whole-frame vs tiled "
                          "SR at each halo (images are treated as HR, "
                          "LR = PIL-parity bicubic ÷scale)")
+    ap.add_argument("--weights", default="auto",
+                    choices=("auto", "ema", "raw"),
+                    help="which tree of an orbax checkpoint to probe: "
+                         "'auto' (default) applies the same EMA "
+                         "maturity gate as the inference CLI, so the "
+                         "measured halo certifies the weights serving "
+                         "will ACTUALLY load; 'ema'/'raw' force a tree")
     args = ap.parse_args()
 
     import jax
@@ -77,7 +84,17 @@ def main():
         from super_resolution_tpu.import_torch import (
             infer_generator_cfg_from_params,
         )
-        g_params, _step = restore_generator_params(args.checkpoint)
+
+        # probe the tree inference will actually load: 'auto' applies
+        # the maturity gate exactly like cli eval/upscale/serve (a halo
+        # certified for the EMA of an immature checkpoint would be
+        # stamped for weights the CLI never serves — round-5 review)
+        from super_resolution_tpu.config import TrainConfig
+
+        kw = {"auto": {"ema_decay": TrainConfig().ema_decay},
+              "ema": {},
+              "raw": {"prefer_ema": False}}[args.weights]
+        g_params, _step = restore_generator_params(args.checkpoint, **kw)
         gcfg = infer_generator_cfg_from_params(g_params)
         params = {"params": g_params}
     impl = args.conv_impl or (
